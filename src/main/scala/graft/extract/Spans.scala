@@ -1,0 +1,82 @@
+package graft.extract
+
+import graft.model.Span
+import scala.collection.mutable.ArrayBuffer
+
+/** Embedded-payload corruption — routed to the "payload" error reason,
+  * the analog of the reference's blob-fetch failure propagating out of the
+  * extraction operator (/root/reference/src/s3_client.py:57-59 →
+  * /root/reference/test/test_ocr_engine.py:141-150).
+  */
+final case class PayloadException(msg: String) extends RuntimeException(msg)
+
+/** Embedded-payload span extractor (op E7 in SURVEY.md §2.3, mandated by
+  * north_star): locate `data:application/pdf;base64,...` /
+  * `data:application/x-layout;base64,...` payloads in the RAW html bytes,
+  * decode them, and emit spans with byte offsets of the base64 body.
+  *
+  * Payload container format is our own deterministic fixture format
+  * (no PDF library resolves offline): decoded bytes must start with the
+  * magic `%GPDF\n` (pdf) or `%GLAY\n` (layout), followed by UTF-8 text.
+  * Anything else — bad base64, missing magic — is a corrupt payload and
+  * throws [[PayloadException]].
+  */
+object Spans {
+
+  private val Markers: List[(String, Array[Byte])] = List(
+    "pdf" -> "data:application/pdf;base64,".getBytes("US-ASCII"),
+    "layout" -> "data:application/x-layout;base64,".getBytes("US-ASCII"))
+
+  private val MagicPdf = "%GPDF\n".getBytes("US-ASCII")
+  private val MagicLay = "%GLAY\n".getBytes("US-ASCII")
+
+  @inline private def isB64(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+      b == '+' || b == '/' || b == '='
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      var k = 0
+      while (k < needle.length && hay(i + k) == needle(k)) k += 1
+      if (k == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def startsWith(a: Array[Byte], prefix: Array[Byte]): Boolean = {
+    if (a.length < prefix.length) return false
+    var i = 0
+    while (i < prefix.length) { if (a(i) != prefix(i)) return false; i += 1 }
+    true
+  }
+
+  /** Scan raw html bytes for embedded payloads, document order.
+    * @throws PayloadException on corrupt payloads (routed to "payload").
+    */
+  def extract(html: Array[Byte]): Seq[Span] = {
+    val out = ArrayBuffer.empty[Span]
+    Markers.foreach { case (kind, marker) =>
+      var from = 0
+      var at = indexOf(html, marker, from)
+      while (at >= 0) {
+        val b64Start = at + marker.length
+        var end = b64Start
+        while (end < html.length && isB64(html(end))) end += 1
+        val body = java.util.Arrays.copyOfRange(html, b64Start, end)
+        val decoded =
+          try java.util.Base64.getDecoder.decode(body)
+          catch { case e: IllegalArgumentException => throw PayloadException(s"bad base64 at $b64Start: ${e.getMessage}") }
+        val magic = if (kind == "pdf") MagicPdf else MagicLay
+        if (!startsWith(decoded, magic)) throw PayloadException(s"missing $kind magic at $b64Start")
+        val text = new String(decoded, magic.length, decoded.length - magic.length, "UTF-8")
+        out += Span(kind, b64Start.toLong, end.toLong, text)
+        from = end
+        at = indexOf(html, marker, from)
+      }
+    }
+    out.sortBy(_.start).toSeq
+  }
+}

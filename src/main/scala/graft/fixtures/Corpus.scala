@@ -1,0 +1,45 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+/** Deterministic page-corpus generator: derives the Common-Crawl-style
+  * page table (url, warc_ts, html, text, lang — BASELINE.json input_hint)
+  * from the driver-provided `documents` table, entirely in a distributed
+  * map (no driver-side materialization, no randomness, no wall clock).
+  *
+  * Error-variant routing is a frozen function of doc_id so the oracle SQL
+  * can predict every row:
+  *   - doc_id % 20 == 7  → garbage bytes  → extracted_text "" (valid row)
+  *   - doc_id % 20 == 13 → null html      → "validation" error
+  *   - doc_id % 20 == 19 → corrupt embedded payload → "payload" error
+  *   - doc_id % 10 == 0  → embedded fake-PDF payload (span cases)
+  *   - otherwise         → plain page; extraction round-trips `text`
+  */
+object Corpus {
+
+  val EpochBaseMs: Long = 1767225600000L // 2026-01-01T00:00:00Z
+
+  def tsFor(id: Long): Timestamp =
+    new Timestamp(EpochBaseMs + (id % 14) * 86400000L + (id % 3600) * 1000L)
+
+  def htmlFor(id: Long, text: String, lang: String): Array[Byte] = {
+    val m = id % 20
+    if (m == 7) PageHtml.garbageBytes(id)
+    else if (m == 13) null
+    else if (m == 19) PageHtml.build(id, text, lang, corruptPayload = true).getBytes("UTF-8")
+    else PageHtml.build(id, text, lang, withPayload = id % 10 == 0).getBytes("UTF-8")
+  }
+
+  /** The page table as a DataFrame, one row per document. */
+  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (id, PageHtml.url(id), tsFor(id), htmlFor(id, text, lang), text, lang)
+      }
+      .toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+  }
+}
