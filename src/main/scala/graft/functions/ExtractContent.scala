@@ -109,6 +109,6 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_content",
       (exprs: Seq[Expression]) => ExtractContent(exprs(0), exprs(1), exprs(2)),
-      "scala_native")
+      "scala_udf")
   }
 }

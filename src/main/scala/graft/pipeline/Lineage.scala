@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Checkpointed per-partition lineage + snapshot-style atomic commit
+  * (op L1, SURVEY.md §4.2): the Iceberg-snapshot stand-in (no iceberg jar
+  * ships offline — the seam is documented; a real Iceberg catalog replaces
+  * the manifest file with a table commit).
+  *
+  * Commit protocol:
+  *   1. results are written `partitionBy("pid")` with dynamic partition
+  *      overwrite (idempotent per pid — rerunning an uncommitted pid
+  *      replaces, never duplicates);
+  *   2. lineage rows (pid, offset=snapshot, rows, bytes, digest) are
+  *      appended under `_lineage/data`;
+  *   3. the manifest (committed pid set + snapshot counter) is rewritten
+  *      via temp file + atomic rename — a crash anywhere before (3) leaves
+  *      the previous manifest intact and the interrupted pids uncommitted.
+  *
+  * Resume = anti-filter on the committed pid set: any rerun processes
+  * exactly the complement, at partition granularity (north_star). This is
+  * the semantic heir of the reference's reconnect-and-replay loop
+  * (/root/reference/src/kafka_consumer.py:101-130): restart-ability
+  * without reprocessing acknowledged work.
+  */
+object Lineage {
+
+  private def manifestPath(outputDir: String): Path = Paths.get(outputDir, "_lineage", "manifest.json")
+
+  /** (snapshot counter, committed pids) — (0, empty) when no manifest. */
+  def readManifest(outputDir: String): (Long, Set[Int]) = {
+    val p = manifestPath(outputDir)
+    if (!Files.exists(p)) return (0L, Set.empty)
+    val s = new String(Files.readAllBytes(p), "UTF-8")
+    // minimal parser for our own writer's format:
+    // {"snapshot":N,"committed_pids":[1,2,3]}
+    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    val pids = "\\[([0-9,\\s]*)\\]".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    (snap, pids)
+  }
+
+  def committedPids(outputDir: String): Set[Int] = readManifest(outputDir)._2
+
+  /** Append lineage rows and atomically publish the new manifest. */
+  def commit(spark: SparkSession, outputDir: String, lineage: DataFrame): Unit = {
+    val (snap, already) = readManifest(outputDir)
+    val newSnap = snap + 1
+    import org.apache.spark.sql.functions._
+    val stamped = lineage.withColumn("offset", lit(newSnap))
+      .select("partition_id", "offset", "rows", "bytes", "digest")
+    stamped.write.mode(SaveMode.Append).parquet(s"$outputDir/_lineage/data")
+    val pids = stamped.select("partition_id").collect().map(_.getInt(0)).toSet
+    val all = (already ++ pids).toSeq.sorted
+    val json = s"""{"snapshot":$newSnap,"committed_pids":[${all.mkString(",")}]}"""
+    val dir = Paths.get(outputDir, "_lineage")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"manifest.tmp.$newSnap")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(outputDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The lineage table as a DataFrame (latest snapshot per pid). */
+  def table(spark: SparkSession, outputDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(s"$outputDir/_lineage/data")
+    val w = Window.partitionBy(col("partition_id")).orderBy(col("offset").desc)
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.fixtures.Corpus
+import graft.pipeline.{ExtractJob, Lineage}
+import graft.pipeline.ExtractJob.JobConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Operator tests on local Spark (SURVEY.md §5.2 item 2): lineage commit,
+  * resume-after-kill at partition granularity, partition pruning on the
+  * warc_day layout, metrics report.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("full run: report counts match the frozen error-routing rule; lineage committed") {
+    val out = freshDir("full")
+    val pages = Corpus.pages(spark, sfDir)
+    val report = ExtractJob.run(spark, pages, JobConfig(out, numPids = 16))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nTotal = docs.count()
+    val nVal = docs.filter(col("doc_id") % 20 === 13).count()
+    val nPay = docs.filter(col("doc_id") % 20 === 19).count()
+    assert(report.docsTotal == nTotal)
+    assert(report.failedValidation == nVal)
+    assert(report.failedPayload == nPay)
+    assert(report.failedUnexpected == 0)
+    assert(report.docsOk == nTotal - nVal - nPay)
+    assert(report.pidsProcessed == 16)
+    assert(report.bytesIn > 0)
+
+    val (snap, committed) = Lineage.readManifest(out)
+    assert(snap == 1L && committed == (0 until 16).toSet)
+    val lin = Lineage.table(spark, out)
+    assert(lin.count() == 16)
+    assert(lin.agg(sum("rows")).head.getLong(0) == nTotal)
+
+    // metrics file exists and carries throughput numbers
+    val mjson = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_metrics", "run-1.json")), "UTF-8")
+    assert(mjson.contains("\"docs_per_sec\"") && mjson.contains("\"failure_rate\""))
+  }
+
+  test("resume after kill: second run processes exactly the uncommitted pids; digests stable") {
+    val out = freshDir("resume")
+    val pages = Corpus.pages(spark, sfDir)
+    // simulate a run killed after committing pids 0..7
+    val half = (0 until 8).toSet
+    val r1 = ExtractJob.run(spark, pages, JobConfig(out, numPids = 16, limitPids = Some(half)))
+    assert(r1.pidsProcessed == 8)
+    assert(Lineage.committedPids(out) == half)
+
+    // resume: full run must process ONLY the complement
+    val r2 = ExtractJob.run(spark, pages, JobConfig(out, numPids = 16))
+    assert(r2.pidsProcessed == 8)
+    assert(Lineage.committedPids(out) == (0 until 16).toSet)
+    assert(r1.docsTotal + r2.docsTotal == spark.read.parquet(s"$sfDir/documents.parquet").count())
+
+    // a third run is a no-op
+    val r3 = ExtractJob.run(spark, pages, JobConfig(out, numPids = 16))
+    assert(r3.pidsProcessed == 0 && r3.docsTotal == 0)
+
+    // the union of both runs is byte-identical to a single fresh full run
+    val outFull = freshDir("fullcmp")
+    ExtractJob.run(spark, pages, JobConfig(outFull, numPids = 16))
+    val a = ExtractJob.docs(spark, out).select("url", "extracted_text", "error")
+    val b = ExtractJob.docs(spark, outFull).select("url", "extracted_text", "error")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+
+    // digests content-addressed: same pid ⇒ same digest across directories
+    val la = Lineage.table(spark, out).select("partition_id", "digest", "rows")
+    val lb = Lineage.table(spark, outFull).select("partition_id", "digest", "rows")
+    assert(la.exceptAll(lb).count() == 0)
+  }
+
+  test("warc_day layout: partition pruning reaches the file scan") {
+    val tbl = freshDir("pruned")
+    Corpus.pages(spark, sfDir)
+      .withColumn("warc_day", to_date(col("warc_ts")))
+      .write.partitionBy("warc_day").mode("overwrite").parquet(tbl)
+    val pages = spark.read.parquet(tbl)
+    val nDays = pages.select("warc_day").distinct().count()
+    assert(nDays >= 7, s"corpus must span >=7 days, got $nDays")
+
+    val q = pages.where(col("warc_day") === "2026-01-03").select("url")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    // FileSourceScanExec reports partition filters + pruned partition count
+    assert(scanStr.contains("PartitionFilters"), scanStr)
+    val files = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(files == 1, s"exactly one warc_day partition must survive pruning, got $files")
+  }
+
+  test("extraction shuffle carries extracted output, not raw html (plan shape)") {
+    graft.functions.GraftFunctions.register(spark)
+    val pages = Corpus.pages(spark, sfDir)
+    val extracted = pages
+      .withColumn("pid", ExtractJob.pidCol(16))
+      .select(col("url"),
+        call_function("extract_content", col("url"), col("html"), col("lang")).as("r"), col("pid"))
+      .repartition(16, col("pid"))
+    val plan = extracted.queryExecution.sparkPlan // pre-AQE: exchanges visible
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected a shuffle exchange:\n$plan")
+    // the exchange's payload is the extraction RESULT — raw html must have
+    // been projected away below it (map-side extraction)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("html"), s"raw html crosses the shuffle: $names")
+      assert(names.contains("r") || names.exists(_.startsWith("r")),
+        s"extraction result must cross the shuffle: $names")
+    }
+  }
+}
