@@ -1,24 +1,83 @@
 package graft
+
+import graft.fixtures.Corpus
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark harness (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Also measures raw
+  * extraction throughput (docs/s, MB/s of html ingested) over an
+  * amplified page corpus — the north_star metric. Parallelism comes from
+  * SPARK_GRAFT_CPUS, so the same harness evidences N→4N scaling
+  * (local[8] vs local[32]); results land in BENCH/BASELINE.md.
+  */
 object Bench {
+
+  /** headline subset: one per operator family, heaviest shapes */
+  private val headline = Seq(
+    "q01_pricing_summary", "q03_topk_revenue", "q05_region_revenue",
+    "q_window_topk", "q_events_sessions", "q_events_windowed",
+    "x_extract", "x_hosts_salted", "x_lineage",
+    "d_exact_canonical", "d_minhash_lsh", "d_simhash",
+    "s_ann_bruteforce", "t_quality", "t_tokens", "t_fingerprint",
+    "mm_image_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    GraftFunctions.register(spark)
+
+    // --- extraction throughput (north_star: docs/s, MB/s html ingested) --
+    // force the full pipeline with an aggregate sink (no disk write cost)
+    def extractionRun(): (Long, Long, Double) = {
+      val pages = Corpus.pagesAmplified(spark, sfDir, amplify)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val row = pages
+        .select(col("url"),
+          coalesce(length(col("html")).cast("long"), lit(0L)).as("in_bytes"),
+          call_function("extract_content", col("url"), col("html"), col("lang")).as("r"))
+        .agg(count(lit(1)), sum(col("in_bytes")),
+          sum(length(col("r.extracted_text"))))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (row.getLong(0), row.getLong(1), sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    extractionRun() // warm-up: JIT + code-gen caches
+    val (docs, bytes, extractSec) = extractionRun()
+    val docsPerSec = docs / extractSec
+    val mbPerSec = bytes / 1e6 / extractSec
+
+    // --- headline query timings ------------------------------------------
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { qs(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
+    }
+
+    val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+        s""""queries":$qJson,"sf":"$sfDir","cpus":$cpus,""" +
+        s""""extract_docs":$docs,"extract_bytes":$bytes,""" +
+        s""""extract_sec":${"%.3f".format(extractSec)},""" +
+        s""""extract_docs_per_sec":${"%.1f".format(docsPerSec)},""" +
+        s""""extract_mb_per_sec":${"%.2f".format(mbPerSec)}}""")
     spark.stop()
   }
 }

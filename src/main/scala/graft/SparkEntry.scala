@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Dedup, Extraction, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query families (one entry per implemented operator, SURVEY.md §2):
+  *   q_*  relational core (scan/filter/join/agg/window/setop/sort/scalar)
+  *   x_*  the extraction engine itself (round-trip oracle on documents)
+  *   d_*  deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  *        embedding-cosine)
+  *   s_*  similarity search (brute-force cosine top-k, IVF probe)
+  *   t_*  text analysis (lang-id, quality, tokens, fingerprints)
+  *   mm_* multimodal binary-column plumbing (stubbed codec, real bytes)
+  *   st_* Structured Streaming (AvailableNow parity with the batch oracle)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full extraction pipeline over the synthesized page corpus.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extraction.defs("x_extract")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ Extraction.defs ++ Dedup.defs ++ Similarity.defs ++
+      TextAnalysis.defs ++ Multimodal.defs ++ Map[String, (SparkSession, String) => DataFrame](
+      "st_events_windowed" -> ((s, dir) =>
+        StreamingExtract.eventsWindowed(s, dir, "st_events_windowed_sink")),
+      "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)))
+
+  /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
+    * without an entry (s_ann_ivf) get the weaker rows-only check — their
+    * correctness is asserted against an in-engine baseline in QueriesSpec.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Extraction.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Map(
+      // streaming results must equal their batch forms
+      "st_events_windowed" -> Relational.oracles("q_events_windowed"),
+      "st_sessions" -> Relational.oracles("q_events_sessions"))
 }

@@ -32,11 +32,21 @@ object Corpus {
   }
 
   /** The page table as a DataFrame, one row per document. */
-  def pages(spark: SparkSession, sfDir: String): DataFrame = {
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pagesAmplified(spark, sfDir, 1)
+
+  /** Amplified corpus for throughput benchmarking: `k` deterministic
+    * replicas with distinct doc ids / urls (id + r·10^7), so pid spread,
+    * host skew and span routing all behave as at larger scale.
+    */
+  def pagesAmplified(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
-      .as[(Long, String, String)]
+    val rep = if (k <= 1) base
+      else base.crossJoin(spark.range(k).toDF("r"))
+        .select(($"doc_id" + $"r" * 10000000L).as("doc_id"), $"text", $"lang")
+    rep.as[(Long, String, String)]
       .map { case (id, text, lang) =>
         (id, PageHtml.url(id), tsFor(id), htmlFor(id, text, lang), text, lang)
       }

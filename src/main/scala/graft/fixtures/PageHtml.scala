@@ -46,16 +46,14 @@ object PageHtml {
     * skewed-host salting path, SURVEY.md §7.2 step 5).
     */
   def hostIndex(id: Long): Int = {
-    val m = (id % 1024).toInt
-    if (m < 512) 0
-    else if (m < 768) 1
-    else if (m < 896) 2
-    else if (m < 960) 3
-    else if (m < 992) 4
-    else if (m < 1008) 5
-    else if (m < 1016) 6
-    else if (m < 1020) 7
-    else 8 + (m - 1020)
+    val m = (id % 64).toInt
+    if (m < 32) 0      // h0 carries half the corpus — the hot host
+    else if (m < 48) 1
+    else if (m < 56) 2
+    else if (m < 60) 3
+    else if (m < 62) 4
+    else if (m == 62) 5
+    else 6
   }
 
   def url(id: Long): String = s"https://h${hostIndex(id)}.example.org/doc/$id"

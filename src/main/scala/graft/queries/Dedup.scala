@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over the `documents` table:
+  * exact (hash group), n-gram Jaccard (the exact oracle), MinHash+LSH
+  * (the scale path — band-bucket join instead of the all-pairs shingle
+  * join), and SimHash fingerprints. All hash choices (md5-60bit) are
+  * portable to DuckDB so every operator has an exact oracle; thresholds
+  * are integer-exact (9c >= 4(na+nb) ⟺ jaccard >= 0.8) so no float
+  * boundary can diverge between engines.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** distinct 3-word shingles per doc */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3))))"
+      )).as("shingle"))
+
+  /** exact-verified pairs (a_id, b_id, jacc) with jaccard >= 0.8, from a
+    * given candidate universe (cands = null → all pairs via shingle join).
+    */
+  private def verifiedPairs(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter0 = cands match {
+      case None =>
+        val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+        val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+        a.join(b, Seq("shingle")).where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
+      case Some(cd) =>
+        cd.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "sa"), Seq("a_id"))
+          .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "sb"), Seq("b_id"))
+          .where(col("sa") === col("sb"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
+    }
+    inter0
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .where(lit(9) * col("c") >= lit(4) * (col("na") + col("nb"))) // jacc >= 0.8, integer-exact
+      .select(col("a_id"), col("b_id"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val NumPerms = 128
+  private val Bands = 32 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-23
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: canonical id per identical-text group
+    "d_exact_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+        .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (all-pairs shingle join) — the
+    // correctness baseline; O(pairs sharing a shingle), fine at test SF,
+    // replaced by LSH at scale
+    "d_jaccard_pairs" -> ((s, dir) => verifiedPairs(shingles(docs(s, dir)), None)),
+
+    // MinHash + LSH banding: 128 perms via seeded xxhash64, 32 bands × 4
+    // rows; candidates from band-bucket equality join (shuffles only
+    // (band, hash) keys — the 10^12-scale path), then exact-verified.
+    // Output is identical to d_jaccard_pairs (same oracle): proves recall.
+    "d_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val mhCols: Seq[Column] = (0 until NumPerms).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      val bandCols: Seq[Column] = (0 until Bands).map { b =>
+        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*).as(s"band$b")
+      }
+      val bands = mh.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)))
+        .toDF("doc_id", "band", "bh")
+      val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+      val cands = a.join(b, Seq("band", "bh"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      verifiedPairs(sh, Some(cands))
+    }),
+
+    // SimHash (60-bit, md5-based token hashes, frequency-weighted) — the
+    // per-doc fingerprint; hamming-ball search is the scale variant
+    "d_simhash" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
+      val th = tf.withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val bits = th
+        .select(col("doc_id"), col("h"), col("w"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("contrib",
+          when(expr("pmod(shiftright(h, j), 2) = 1"), col("w")).otherwise(-col("w")))
+        .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("sgn"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), j)"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine near-dup pairs over the base ∪ mutated corpus
+    // (deterministic +0.01 perturbation, vec_id+100000) — finds exactly
+    // the planted (i, i+100000) pairs; cosine >= 0.9 (natural max ~0.51)
+    "d_embed_dups" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      val aug = base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(e, x -> x + 0.01d)").as("e"))
+      val corpus = base.union(aug)
+        .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
+      val a = corpus.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+      val b = corpus.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("cos_r", round(
+          expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+            (col("na") * col("nb")), 3))
+        .where(col("cos_r") >= 0.9)
+        .select(col("a_id"), col("b_id"), col("cos_r"))
+        .orderBy(col("a_id"), col("b_id"))
+    }))
+
+  private val shingleSqlDuck =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
+      |  FROM toks CROSS JOIN generate_series(1, 2048) t(i)
+      |  WHERE i <= len(ws)-2),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT a_id, b_id,
+      |  round(c*1.0/(sa.n+sb.n-c), 6) AS jacc
+      |FROM inter JOIN sizes sa ON a_id = sa.doc_id
+      |            JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE 9*c >= 4*(sa.n+sb.n)
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_canonical" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY text)
+        |    THEN 1 ELSE 0 END AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_jaccard_pairs" -> shingleSqlDuck,
+    // identical output contract: LSH must recover every >=0.8 pair
+    "d_minhash_lsh" -> shingleSqlDuck,
+    "d_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) w FROM tok GROUP BY 1,2),
+        |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT h, w FROM tf),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) sgn
+        |  FROM th CROSS JOIN generate_series(0, 59) t(j) GROUP BY 1,2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END)
+        |    AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "d_embed_dups" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id+100000,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)+0.01)
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, i, e[i] v
+        |  FROM corpus CROSS JOIN generate_series(1, 64) t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ex GROUP BY 1),
+        |d AS (
+        |  SELECT a.vec_id a_id, b.vec_id b_id, sum(a.v*b.v) dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1,2),
+        |c AS (
+        |  SELECT a_id, b_id, round(dot/(na.nrm*nb.nrm), 3) cos_r
+        |  FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id)
+        |SELECT a_id, b_id, cos_r FROM c WHERE cos_r >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin)
+}

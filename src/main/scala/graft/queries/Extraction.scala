@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.fixtures.Corpus
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction engine exposed as oracle-checked queries: the page
+  * corpus is derived deterministically from `documents` (frozen doc_id
+  * routing — fixtures.Corpus), the engine extracts it for real (tokenizer
+  * → DOM → classifier → spans), and DuckDB predicts every output row from
+  * the generation rule. This is the strongest external check available:
+  * the oracle never sees our extraction code, only the round-trip
+  * contract.
+  */
+object Extraction {
+
+  private def extracted(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Corpus.pages(s, dir)
+      .withColumn("r", call_function("extract_content", col("url"), col("html"), col("lang")))
+      .select(col("doc_id"), col("url"),
+        col("r.extracted_text").as("extracted_text"),
+        col("r.spans").as("spans"),
+        col("r.error").as("error"),
+        col("text"))
+  }
+
+  /** 60-bit md5 fingerprint — portable to DuckDB bit-for-bit. */
+  private def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** host index CASE shared with the DuckDB oracle (PageHtml.hostIndex) */
+  private val hostSql: String =
+    """'h' || (CASE WHEN doc_id%64 < 32 THEN 0
+      |  WHEN doc_id%64 < 48 THEN 1 WHEN doc_id%64 < 56 THEN 2
+      |  WHEN doc_id%64 < 60 THEN 3 WHEN doc_id%64 < 62 THEN 4
+      |  WHEN doc_id%64 = 62 THEN 5
+      |  ELSE 6 END) || '.example.org'""".stripMargin.replace("\n", " ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the flagship: full extraction, ok rows byte-checked against source
+    "x_extract" -> ((s, dir) =>
+      extracted(s, dir).where(col("error").isNull)
+        .select(col("doc_id"), col("extracted_text"))
+        .orderBy(col("doc_id"))),
+
+    // 3-way error router output (validation/payload reasons)
+    "x_errors" -> ((s, dir) =>
+      extracted(s, dir).where(col("error").isNotNull)
+        .select(col("doc_id"), col("error").as("reason"))
+        .orderBy(col("doc_id"))),
+
+    // embedded-payload spans (kind + decoded text; byte offsets are
+    // template-dependent and covered by unit tests instead)
+    "x_spans" -> ((s, dir) =>
+      extracted(s, dir).where(size(col("spans")) > 0)
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.kind").as("kind"), col("sp.text").as("span_text"))
+        .orderBy(col("doc_id"))),
+
+    // skew-aware per-host stats: Zipf-skewed hosts (h0 carries half the
+    // corpus) aggregated via two-phase salted agg — partial agg on
+    // (host, salt) spreads the hot key over 8 reducers, then the tiny
+    // per-(host,salt) partials combine. Result identical to a plain
+    // groupBy(host) — which is exactly what the oracle computes.
+    "x_hosts_salted" -> ((s, dir) => {
+      val pages = Corpus.pages(s, dir)
+        .withColumn("host", element_at(split(col("url"), "/"), 3))
+        .withColumn("salt", pmod(xxhash64(col("url")), lit(8)))
+      val partial = pages.groupBy(col("host"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(length(col("text"))).as("pc"))
+      partial.groupBy(col("host"))
+        .agg(sum(col("pn")).as("n_docs"), sum(col("pc")).as("total_chars"))
+        .orderBy(col("n_docs").desc, col("host"))
+    }),
+
+    // lineage over the extraction output, keyed on an md5-based pid so
+    // DuckDB can recompute the per-partition digests exactly
+    "x_lineage" -> ((s, dir) =>
+      extracted(s, dir)
+        .withColumn("qpid", pmod(fp60(col("url")), lit(32L)))
+        .withColumn("rec", concat(col("url"), lit(":"),
+          coalesce(col("extracted_text"), lit("~")), lit(":"),
+          coalesce(col("error"), lit("~"))))
+        .groupBy(col("qpid"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(coalesce(col("extracted_text"), lit("")))).as("chars"),
+          sum(pmod(fp60(col("rec")), lit(1000000007L))).as("digest"))
+        .orderBy(col("qpid"))))
+
+  val oracles: Map[String, String] = Map(
+    "x_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text
+        |FROM documents WHERE doc_id%20 NOT IN (13, 19)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_errors" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%20 = 13 THEN 'validation' ELSE 'payload' END AS reason
+        |FROM documents WHERE doc_id%20 IN (13, 19)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_spans" ->
+      """SELECT doc_id, 'pdf' AS kind,
+        |  'embedded payload ' || doc_id AS span_text
+        |FROM documents WHERE doc_id%10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_hosts_salted" ->
+      s"""SELECT $hostSql AS host, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1
+         |ORDER BY n_docs DESC, host""".stripMargin,
+
+    "x_lineage" ->
+      s"""WITH rows_ AS (
+         |  SELECT doc_id,
+         |    'https://' || $hostSql || '/doc/' || doc_id AS url,
+         |    CASE WHEN doc_id%20 = 13 THEN NULL WHEN doc_id%20 = 19 THEN NULL
+         |         WHEN doc_id%20 = 7 THEN '' ELSE text END AS et,
+         |    CASE WHEN doc_id%20 = 13 THEN 'validation'
+         |         WHEN doc_id%20 = 19 THEN 'payload' END AS err
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT ('0x'||substr(md5(url),1,15))::BIGINT % 32 AS qpid,
+         |    length(coalesce(et, '')) AS chars,
+         |    ('0x'||substr(md5(url || ':' || coalesce(et, '~') || ':' ||
+         |      coalesce(err, '~')),1,15))::BIGINT % 1000000007 AS h
+         |  FROM rows_)
+         |SELECT qpid, count(*) AS n_rows,
+         |  CAST(sum(chars) AS BIGINT) AS chars,
+         |  CAST(sum(h) AS BIGINT) AS digest
+         |FROM keyed GROUP BY 1 ORDER BY qpid""".stripMargin)
+}

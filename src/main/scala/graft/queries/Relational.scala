@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational-operator coverage (SURVEY.md §2.6): scans, filters,
+  * projections, broadcast + shuffle joins, aggregations, windows, set ops,
+  * sort/limit/top-k, scalar functions — each with a DuckDB-checkable
+  * oracle. Every output is fully ordered and every float is rounded so
+  * the driver's hash compare is deterministic across engines.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: filter → wide agg → sort (map-side partial agg; no
+    // shuffle besides the 2-key groupBy)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: broadcast dim join + shuffle fact join + top-k.
+    // customer is small → explicit broadcast; lineitem⋈orders shuffles.
+    "q03_topk_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join (broadcast chain for dims) + group agg
+    "q05_region_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").where(col("r_name") === "EUROPE")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey") &&
+          sup("s_nationkey") === cust("c_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // window: top-3 parts per brand by price (rank + filter)
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // window: running revenue per supplier over ship time
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .where(col("l_suppkey") <= 5)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(col("running_qty"), 2).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // set ops: customers active in 1995 but not 1996 (EXCEPT = distinct)
+    "q_setops_active" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val y95 = ord.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = ord.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.except(y96).orderBy(col("o_custkey"))
+    }),
+
+    // sort + limit with full tiebreak
+    "q_orders_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"), col("o_orderpriority"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // aggregation with distinct + min/max
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // scalar-function surface: string/date/hash functions, identical
+    // semantics in DuckDB (md5, substr, concat_ws, year/month/day, regexp)
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio1"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          md5(col("o_orderstatus")).as("status_md5"),
+          round(col("o_totalprice") * 0.1, 2).as("tithe"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // event sessionization: lag-gap > 30 min starts a new session
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp"))) // ts is NTZ; session TZ is UTC
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // tumbling-window agg (batch form; StreamingSpec proves the identical
+    // readStream → window → agg produces the same result)
+    "q_events_windowed" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+        .limit(500)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),2) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q03_topk_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT p_brand, rnk, p_partkey, price FROM (
+        |  SELECT p_brand, p_partkey, round(p_retailprice,2) AS price,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_setops_active" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_orders_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total,
+        |  o_orderpriority
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders, round(min(o_totalprice),2) AS min_price,
+        |  round(max(o_totalprice),2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  upper(substr(o_orderpriority,1,1)) AS prio1,
+        |  length(o_orderpriority) AS prio_len,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  md5(o_orderstatus) AS status_md5,
+        |  round(o_totalprice*0.1,2) AS tithe
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_windowed" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 500""".stripMargin)
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column: brute-force cosine top-k
+  * (the exact baseline, with a DuckDB oracle) and an IVF-style
+  * coarse-quantized variant (the 10^12-scale path: probe only the nearest
+  * centroid cells instead of scanning everything; recall asserted against
+  * the brute-force baseline in QueriesSpec, no SQL oracle since the probe
+  * set is a recall/latency trade).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
+
+  private val dotExpr = expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+
+  /** top-k cosine neighbors for each query vector (vec_id < 10) */
+  def bruteforce(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val all = emb(s, dir)
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // broadcast the tiny query side; the big side streams map-side (no
+    // shuffle of the corpus — this is the shape that survives 100 TB)
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_r", round(dotExpr / (col("qn") * col("nrm")), 3))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** IVF-style ANN: a k-means-lite codebook (deterministic init = lowest
+    * vec_ids, a few Lloyd iterations with centroids collected to the
+    * driver — the codebook is tiny and broadcast, assignments stay
+    * distributed), then queries probe only the `nprobe` nearest cells.
+    * At 10^12 scale the cells DataFrame is the persisted index; the scan
+    * prunes to probed cells instead of touching the whole corpus.
+    */
+  def ivf(s: SparkSession, dir: String, k: Int = 5,
+          cells: Int = 8, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).cache()
+
+    def centDf(cents: Seq[(Int, Seq[Double])]) =
+      broadcast(cents.toDF("cell", "ce")
+        .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
+
+    def assign(cents: Seq[(Int, Seq[Double])]) = {
+      val wv = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+      all.crossJoin(centDf(cents))
+        .withColumn("ccos",
+          expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+            (col("nrm") * col("cn")))
+        .withColumn("arnk", row_number().over(wv))
+        .where(col("arnk") === 1)
+        .select(col("vec_id"), col("cell"), col("e"))
+    }
+
+    // init: the `cells` lowest vec_ids as seed centroids
+    var cents: Seq[(Int, Seq[Double])] = all.orderBy(col("vec_id")).limit(cells)
+      .select(col("e")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)").as("ce"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+    val cellOf = assign(cents).select(col("vec_id"), col("cell"))
+
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // pick nprobe nearest cells per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(centDf(cents))
+      .withColumn("ccos",
+        expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("qn") * col("cn")))
+      .withColumn("prnk", row_number().over(wq))
+      .where(col("prnk") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+    // scan ONLY the probed cells (join on cell prunes the corpus)
+    val scored = all.join(cellOf, Seq("vec_id")).join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_r", round(dotExpr / (col("qn") * col("nrm")), 3))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ann_bruteforce" -> ((s, dir) => bruteforce(s, dir)),
+    "s_ann_ivf" -> ((s, dir) => ivf(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "s_ann_bruteforce" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ex GROUP BY 1),
+        |qx AS (SELECT vec_id qid, i, v FROM ex WHERE vec_id < 10),
+        |d AS (
+        |  SELECT qid, ex.vec_id nid, sum(qx.v*ex.v) dot
+        |  FROM qx JOIN ex ON qx.i = ex.i AND ex.vec_id <> qx.qid
+        |  GROUP BY 1,2),
+        |c AS (
+        |  SELECT qid, nid, round(dot/(qn.nrm*nn.nrm), 3) cos_r
+        |  FROM d JOIN n qn ON qid = qn.vec_id JOIN n nn ON nid = nn.vec_id),
+        |r AS (
+        |  SELECT qid, nid, cos_r,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, nid) rnk
+        |  FROM c)
+        |SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin)
+    // s_ann_ivf: intentionally no SQL oracle (probe-limited recall);
+    // QueriesSpec asserts recall >= 0.8 vs s_ann_bruteforce instead.
+}

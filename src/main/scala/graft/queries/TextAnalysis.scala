@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword-marker heuristic), quality scoring (length / word-shape /
+  * stopword ratios), token counting (whitespace + regex), and document
+  * fingerprinting (md5 + 60-bit numeric fp — md5 is bit-identical across
+  * Spark and DuckDB, so fingerprints are oracle-checkable, unlike
+  * engine-private hashes).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def hitCol(lang: String, words: Seq[String]) = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(ws, w -> w IN ($inList)))").as(s"${lang}_hits")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // language ID: marker-word counts per language, argmax with a fixed
+    // preference order on ties; 'unknown' when no marker hits at all
+    "t_langid" -> ((s, dir) => {
+      val withHits = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id") +: markers.map { case (l, w) => hitCol(l, w) }: _*)
+      val best = greatest(markers.map(m => col(s"${m._1}_hits")): _*)
+      withHits
+        .withColumn("lang_pred",
+          when(best === 0, lit("unknown"))
+            .when(col("en_hits") === best, lit("en"))
+            .when(col("de_hits") === best, lit("de"))
+            .when(col("fr_hits") === best, lit("fr"))
+            .otherwise(lit("es")))
+        .select(col("doc_id"), col("lang_pred"), col("en_hits"), col("de_hits"),
+          col("fr_hits"), col("es_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: all features integer-derived → exact cross-engine
+    "t_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("sw_hits", expr("size(filter(ws, w -> w IN ('the', 'a', 'of', 'is', 'and')))"))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_words"),
+          round((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"), 4)
+            .as("avg_word_len"),
+          round(col("sw_hits").cast("double") / col("n_words"), 4).as("stopword_ratio"),
+          when(col("n_words") >= 30 &&
+            (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words") < 8.0, 1)
+            .otherwise(0).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting: whitespace, regex word-ish tokens, distinct count
+    "t_tokens" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("ws")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
+          size(array_distinct(col("ws"))).as("distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprinting: md5 digest + numeric 60-bit fp
+    "t_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("fp_md5"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp60"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "t_langid" -> {
+      def hits(l: String, ws: Seq[String]) =
+        s"len(list_filter(string_split(text,' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS ${l}_hits"
+      val cols = markers.map { case (l, w) => hits(l, w) }.mkString(",\n  ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |  $cols
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+         |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  en_hits, de_hits, fr_hits, es_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "t_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) n_chars,
+        |    len(string_split(text,' ')) n_words,
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the', 'a', 'of', 'is', 'and'))) sw_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  round((n_chars - n_words + 1)*1.0/n_words, 4) AS avg_word_len,
+        |  round(sw_hits*1.0/n_words, 4) AS stopword_ratio,
+        |  CASE WHEN n_words >= 30
+        |    AND (n_chars - n_words + 1)*1.0/n_words < 8.0 THEN 1 ELSE 0 END
+        |    AS quality_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp60
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

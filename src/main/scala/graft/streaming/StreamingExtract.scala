@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import graft.pipeline.ExtractJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (op S1's streaming form, SURVEY.md §2.1):
+  * the reference's Kafka drain loop
+  * (/root/reference/src/kafka_consumer.py:111-134) maps to
+  * `readStream → extract → writeStream`; no Kafka connector jar ships in
+  * this sandbox, so the built-in file source stands in (the seam is the
+  * `format(...)` string). `Trigger.AvailableNow` gives the batch-parity
+  * semantics used by the tests.
+  */
+object StreamingExtract {
+
+  /** The file streaming source requires a DIRECTORY; testdata tables are
+    * single parquet files — stage such a file into a temp dir.
+    */
+  private def stageDir(path: String): String = {
+    val f = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(f)) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(f, d.resolve(f.getFileName.toString))
+      d.toString
+    }
+  }
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Stream a directory of page parquet into extracted parquet. Returns
+    * after all available input is processed (AvailableNow).
+    */
+  def runFileStream(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
+    GraftFunctions.register(spark)
+    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
+    val out = pages
+      .withColumn("r", call_function("extract_content", col("url"), col("html"), col("lang")))
+      .select(col("url"),
+        col("r.extracted_text").as("extracted_text"),
+        col("r.spans").as("spans"),
+        col("r.error").as("error"),
+        ExtractJob.pidCol(16).as("pid"))
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming tumbling-window aggregation over the events table into an
+    * in-memory sink; complete mode so the result equals the batch query
+    * (q_events_windowed oracle).
+    */
+  def eventsWindowed(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val agg = events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("wstart"), col("event_type"))
+      .limit(500)
+  }
+
+  /** Stateful streaming: per-user session counts via
+    * flatMapGroupsWithState — the custom-state surface (SURVEY.md §2.6).
+    * Batch-checkable because AvailableNow + a single input file processes
+    * everything in order within each group sort.
+    */
+  def sessionCounts(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"), // ts is NTZ; session TZ UTC
+        col("event_id"))
+      .as[(Long, Long, Long)]
+
+    def fn(user: Long, rows: Iterator[(Long, Long, Long)],
+           state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      // events within one micro-batch arrive unordered → sort by (ms, id)
+      val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+      var (sessions, events_, lastMs) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+      sorted.foreach { case (_, ms, _) =>
+        if (lastMs == Long.MinValue || ms - lastMs > gapMs) sessions += 1
+        events_ += 1
+        lastMs = ms
+      }
+      state.update((sessions, events_, lastMs))
+      Iterator.single((user, sessions, events_))
+    }
+
+    val out = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("st_sessions_sink")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // keep the last emitted state per user (update mode may emit per batch)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table("st_sessions_sink")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
+  }
+}

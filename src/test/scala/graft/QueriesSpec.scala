@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-engine cross-checks for queries whose oracle is another query
+  * (approximate operators vs their exact baselines), plus smoke coverage
+  * that every SparkEntry query executes and returns rows on sf0.001.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH recovers exactly the exact-jaccard pairs (recall=1 at j>=0.8)") {
+    val exact = Dedup.defs("d_jaccard_pairs")(spark, sfDir).collect().toSet
+    val lsh = Dedup.defs("d_minhash_lsh")(spark, sfDir).collect().toSet
+    assert(exact.nonEmpty, "corpus must contain near-dup pairs")
+    assert(lsh == exact, s"LSH pairs must equal exact pairs: missing=${exact -- lsh}, extra=${lsh -- exact}")
+  }
+
+  test("IVF ANN reaches recall >= 0.8 of brute-force top-5") {
+    val exact = Similarity.bruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (|exact|=${exact.size}, hit=${(exact & ivf).size})")
+  }
+
+  test("every SparkEntry query executes and returns rows (sf0.001)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("host skew present: h0 carries ~half the corpus (salting fixture)") {
+    val hosts = graft.queries.Extraction.defs("x_hosts_salted")(spark, sfDir).collect()
+    assert(hosts.length >= 5, s"expected >=5 hosts, got ${hosts.length}")
+    val total = hosts.map(_.getLong(1)).sum
+    val top = hosts.head.getLong(1)
+    assert(top * 3 > total, "top host must dominate (skew)")
+  }
+}
