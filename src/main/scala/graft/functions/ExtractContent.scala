@@ -67,6 +67,7 @@ case class ExtractContent(url: Expression, html: Expression, lang: Expression)
 
   override def dataType: DataType = ExtractKernel.schema
   override def nullable: Boolean = false
+  override def prettyName: String = "extract_content"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks: broadcast joins for small dims, bucketed co-located
+  * joins with zero exchanges, filter pushdown to the parquet scan.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q03: small dimension joins via broadcast, not shuffle") {
+    val plan = graft.queries.Relational.defs("q03_topk_revenue")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a broadcast hash join:\n$plan")
+  }
+
+  test("bucketed tables join co-located: zero shuffle exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      j.collect() // force execution through AQE
+      // AQE query stages hide subtrees from collect() — assert on the
+      // final plan string instead
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans must use buckets:\n$plan")
+      // the ONLY exchange allowed is the groupBy's (on o_orderpriority);
+      // neither join key may be re-shuffled — bucketing co-locates them
+      val badExchange = plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("l_orderkey") || l.contains("o_orderkey")))
+      assert(!badExchange, s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (PushedFilters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
+    graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .where(col("lang") === "de")
+      .select(col("url"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"), scan)
+  }
+}
