@@ -114,6 +114,23 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash hamming-ball pairs (hd <= 3). NOTE: the testdata vocabulary
+    // is ~31 words, so ALL docs share most tokens and background hamming
+    // starts at ~4 — the threshold isolates true near-dups here but the
+    // margin is data-dependent; at web scale (rich vocab) the band-index
+    // variant of this join (split 60 bits into 4 bands of 15, join on any
+    // equal band — guaranteed for hd<=3) replaces the O(n²) pair scan.
+    "d_simhash_pairs" -> ((s, dir) => {
+      val sim = defs("d_simhash")(s, dir)
+      val a = sim.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+      val b = sim.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .where(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // embedding-cosine near-dup pairs over the base ∪ mutated corpus
     // (deterministic +0.01 perturbation, vec_id+100000) — finds exactly
     // the planted (i, i+100000) pairs; cosine >= 0.9 (natural max ~0.51)
@@ -163,6 +180,25 @@ object Dedup {
     "d_jaccard_pairs" -> shingleSqlDuck,
     // identical output contract: LSH must recover every >=0.8 pair
     "d_minhash_lsh" -> shingleSqlDuck,
+    "d_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) w FROM tok GROUP BY 1,2),
+        |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT h, w FROM tf),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) sgn
+        |  FROM th CROSS JOIN generate_series(0, 59) t(j) GROUP BY 1,2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END)
+        |      AS BIGINT) simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id a_id, b.doc_id b_id,
+        |  bit_count(xor(a.simhash, b.simhash)::BIT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)::BIT) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "d_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),

@@ -122,6 +122,15 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // HLL sketch surface — engine-specific values, so no SQL oracle;
+    // QueriesSpec bounds the relative error against the exact count
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // scalar-function surface: string/date/hash functions, identical
     // semantics in DuckDB (md5, substr, concat_ws, year/month/day, regexp)
     "q_scalar_funcs" -> ((s, dir) => {

@@ -36,6 +36,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.Relational.defs("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("simhash hamming pairs cover the exact jaccard near-dup pairs") {
+    val jacc = graft.queries.Dedup.defs("d_jaccard_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham = graft.queries.Dedup.defs("d_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (jacc.isEmpty) 1.0 else (jacc & ham).size.toDouble / jacc.size
+    assert(recall >= 0.8, s"simhash recall $recall (|jacc|=${jacc.size}, |ham|=${ham.size})")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
