@@ -23,9 +23,10 @@ final case class PayloadException(msg: String) extends RuntimeException(msg)
   */
 object Spans {
 
-  private val Markers: List[(String, Array[Byte])] = List(
-    "pdf" -> "data:application/pdf;base64,".getBytes("US-ASCII"),
-    "layout" -> "data:application/x-layout;base64,".getBytes("US-ASCII"))
+  // single shared prefix so the scan over the raw bytes happens ONCE
+  private val Prefix = "data:application/".getBytes("US-ASCII")
+  private val PdfSuffix = "pdf;base64,".getBytes("US-ASCII")
+  private val LaySuffix = "x-layout;base64,".getBytes("US-ASCII")
 
   private val MagicPdf = "%GPDF\n".getBytes("US-ASCII")
   private val MagicLay = "%GLAY\n".getBytes("US-ASCII")
@@ -34,16 +35,11 @@ object Spans {
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
       b == '+' || b == '/' || b == '='
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    var i = from
-    val limit = hay.length - needle.length
-    while (i <= limit) {
-      var k = 0
-      while (k < needle.length && hay(i + k) == needle(k)) k += 1
-      if (k == needle.length) return i
-      i += 1
-    }
-    -1
+  @inline private def matchesAt(hay: Array[Byte], at: Int, needle: Array[Byte]): Boolean = {
+    if (at + needle.length > hay.length) return false
+    var k = 0
+    while (k < needle.length) { if (hay(at + k) != needle(k)) return false; k += 1 }
+    true
   }
 
   private def startsWith(a: Array[Byte], prefix: Array[Byte]): Boolean = {
@@ -53,30 +49,38 @@ object Spans {
     true
   }
 
-  /** Scan raw html bytes for embedded payloads, document order.
+  /** Scan raw html bytes for embedded payloads, document order (single
+    * pass — spans come out already offset-sorted).
     * @throws PayloadException on corrupt payloads (routed to "payload").
     */
   def extract(html: Array[Byte]): Seq[Span] = {
-    val out = ArrayBuffer.empty[Span]
-    Markers.foreach { case (kind, marker) =>
-      var from = 0
-      var at = indexOf(html, marker, from)
-      while (at >= 0) {
-        val b64Start = at + marker.length
-        var end = b64Start
-        while (end < html.length && isB64(html(end))) end += 1
-        val body = java.util.Arrays.copyOfRange(html, b64Start, end)
-        val decoded =
-          try java.util.Base64.getDecoder.decode(body)
-          catch { case e: IllegalArgumentException => throw PayloadException(s"bad base64 at $b64Start: ${e.getMessage}") }
-        val magic = if (kind == "pdf") MagicPdf else MagicLay
-        if (!startsWith(decoded, magic)) throw PayloadException(s"missing $kind magic at $b64Start")
-        val text = new String(decoded, magic.length, decoded.length - magic.length, "UTF-8")
-        out += Span(kind, b64Start.toLong, end.toLong, text)
-        from = end
-        at = indexOf(html, marker, from)
-      }
+    var out: ArrayBuffer[Span] = null
+    val n = html.length
+    var i = 0
+    val limit = n - Prefix.length
+    while (i <= limit) {
+      if (html(i) == 'd' && matchesAt(html, i, Prefix)) {
+        val rest = i + Prefix.length
+        var kind: String = null
+        var b64Start = -1
+        if (matchesAt(html, rest, PdfSuffix)) { kind = "pdf"; b64Start = rest + PdfSuffix.length }
+        else if (matchesAt(html, rest, LaySuffix)) { kind = "layout"; b64Start = rest + LaySuffix.length }
+        if (kind != null) {
+          var end = b64Start
+          while (end < n && isB64(html(end))) end += 1
+          val body = java.util.Arrays.copyOfRange(html, b64Start, end)
+          val decoded =
+            try java.util.Base64.getDecoder.decode(body)
+            catch { case e: IllegalArgumentException => throw PayloadException(s"bad base64 at $b64Start: ${e.getMessage}") }
+          val magic = if (kind == "pdf") MagicPdf else MagicLay
+          if (!startsWith(decoded, magic)) throw PayloadException(s"missing $kind magic at $b64Start")
+          val text = new String(decoded, magic.length, decoded.length - magic.length, "UTF-8")
+          if (out == null) out = ArrayBuffer.empty[Span]
+          out += Span(kind, b64Start.toLong, end.toLong, text)
+          i = end
+        } else i += 1
+      } else i += 1
     }
-    out.sortBy(_.start).toSeq
+    if (out == null) Nil else out.toSeq
   }
 }

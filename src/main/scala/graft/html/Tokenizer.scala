@@ -76,6 +76,12 @@ object Tokenizer {
     val sniffN = math.min(bytes.length, 512)
     var i = 0
     while (i < sniffN) { if (bytes(i) == 0) return None; i += 1 }
+    // pure-ASCII fast path (the common web case after gzip): identical
+    // output to the decoder path, skips decoder + replacement scan
+    var ascii = true
+    i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) return Some(new String(bytes, StandardCharsets.US_ASCII))
     val cs = sniffCharset(bytes)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
