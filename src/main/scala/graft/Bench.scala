@@ -43,7 +43,7 @@ object Bench {
     // reused across parallelism levels), then time the real path:
     // parquet scan (column-pruned) → extract_content → aggregate sink
     val sfTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val staged = s"/tmp/graft-bench-pages-$sfTag-x$amplify"
+    val staged = s"/tmp/graft-bench-pages-v${graft.fixtures.PageHtml.CorpusVersion}-$sfTag-x$amplify"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS"))) {
       Corpus.pagesAmplified(spark, sfDir, amplify)
         .repartition(64)

@@ -22,6 +22,11 @@ package graft.fixtures
   */
 object PageHtml {
 
+  /** Bump whenever the page template / routing rules change — keys the
+    * benchmark's staged-corpus cache so it never serves stale bytes.
+    */
+  val CorpusVersion = 2
+
   val WordsPerPara = 25
 
   def escape(s: String): String = {
