@@ -73,15 +73,22 @@ object Tokenizer {
   def decode(bytes: Array[Byte]): Option[String] = {
     if (bytes == null) return None
     if (bytes.isEmpty) return Some("")
-    val sniffN = math.min(bytes.length, 512)
-    var i = 0
-    while (i < sniffN) { if (bytes(i) == 0) return None; i += 1 }
-    // pure-ASCII fast path (the common web case after gzip): identical
-    // output to the decoder path, skips decoder + replacement scan
-    var ascii = true
-    i = 0
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
-    if (ascii) return Some(new String(bytes, StandardCharsets.US_ASCII))
+    // UTF-16 BOMs first: UTF-16 text is full of NUL bytes by design, so
+    // the binary-reject heuristic below must not see it
+    val utf16 = bytes.length >= 2 &&
+      (((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) ||
+        ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe))
+    if (!utf16) {
+      val sniffN = math.min(bytes.length, 512)
+      var i = 0
+      while (i < sniffN) { if (bytes(i) == 0) return None; i += 1 }
+      // pure-ASCII fast path (the common web case): identical output to
+      // the decoder path, skips decoder + replacement scan
+      var ascii = true
+      i = 0
+      while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+      if (ascii) return Some(new String(bytes, StandardCharsets.US_ASCII))
+    }
     val cs = sniffCharset(bytes)
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
@@ -91,7 +98,11 @@ object Tokenizer {
     var bad = 0
     var j = 0
     while (j < out.length) { if (out.charAt(j) == '�') bad += 1; j += 1 }
-    if (out.nonEmpty && bad.toLong * 10 > out.length.toLong) None else Some(out)
+    if (out.nonEmpty && bad.toLong * 10 > out.length.toLong) None
+    // strip a leading BOM (UTF-8 BOM decodes to U+FEFF; it is markup
+    // plumbing, never content)
+    else if (out.nonEmpty && out.charAt(0) == '\uFEFF') Some(out.substring(1))
+    else Some(out)
   }
 
   /** Decode HTML entities in a text run. Named subset + numeric forms;
@@ -137,6 +148,24 @@ object Tokenizer {
               case "Ouml"  => "Ö"
               case "Uuml"  => "Ü"
               case "euro"  => "€"
+              case "eacute" => "é"
+              case "egrave" => "è"
+              case "agrave" => "à"
+              case "acirc"  => "â"
+              case "ecirc"  => "ê"
+              case "ccedil" => "ç"
+              case "ntilde" => "ñ"
+              case "aacute" => "á"
+              case "iacute" => "í"
+              case "oacute" => "ó"
+              case "uacute" => "ú"
+              case "deg"    => "°"
+              case "sect"   => "§"
+              case "middot" => "·"
+              case "laquo"  => "«"
+              case "raquo"  => "»"
+              case "trade"  => "™"
+              case "reg"    => "®"
               case _       => null
             }
           if (rep != null) { sb.append(rep); i = semi + 1 }
