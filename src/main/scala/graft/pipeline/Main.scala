@@ -24,8 +24,14 @@ object Main {
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // transient-failure envelope: the Spark heir of the reference's
+      // 25-retry backoff loop (kafka_consumer.py:101-130) — task retries
+      // cover transient I/O; lineage resume covers process death
+      .config("spark.task.maxFailures", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -40,7 +46,8 @@ object Main {
           ).flatten
           pruned.foreach(p => df = df.where(p))
           df
-        case (None, Some(sf)) => Corpus.pages(spark, sf)
+        case (None, Some(sf)) =>
+          Corpus.pagesAmplified(spark, sf, sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1").toInt)
         case _ => sys.error("one of --input or --from-documents is required")
       }
       val report = ExtractJob.run(spark, pages, ExtractJob.JobConfig(output, numPids))
