@@ -64,10 +64,17 @@ object Lineage {
   }
 
   /** The lineage table as a DataFrame (latest snapshot per pid). */
-  def table(spark: SparkSession, outputDir: String): DataFrame = {
+  def table(spark: SparkSession, outputDir: String): DataFrame =
+    tableAt(spark, outputDir, Long.MaxValue)
+
+  /** Snapshot time travel (the Iceberg-snapshot analog): lineage as of
+    * snapshot `snap` — latest row per pid with offset <= snap.
+    */
+  def tableAt(spark: SparkSession, outputDir: String, snap: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val raw = spark.read.parquet(s"$outputDir/_lineage/data")
+      .where(col("offset") <= snap)
     val w = Window.partitionBy(col("partition_id")).orderBy(col("offset").desc)
     raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }

@@ -50,8 +50,8 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val NumPerms = 128
-  private val Bands = 32 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-23
+  private val NumPerms = 64
+  private val Bands = 16 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-12, still ~0 at any corpus size we run
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

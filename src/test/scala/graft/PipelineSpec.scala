@@ -78,6 +78,25 @@ class PipelineSpec extends AnyFunSuite {
     val la = Lineage.table(spark, out).select("partition_id", "digest", "rows")
     val lb = Lineage.table(spark, outFull).select("partition_id", "digest", "rows")
     assert(la.exceptAll(lb).count() == 0)
+
+    // snapshot time travel: as-of snapshot 1 shows only the first run's pids
+    val at1 = Lineage.tableAt(spark, out, 1L)
+    assert(at1.select("partition_id").collect().map(_.getInt(0)).toSet == half)
+    assert(Lineage.tableAt(spark, out, 2L).count() == 16)
+  }
+
+  test("typed Aggregator digest matches the relational md5 digest (UDAF surface)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    val typed = docs.select(graft.functions.DigestAggregator.toColumn).head()
+    val rel = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(col("doc_id").cast("string"), lit(":"), col("text")).as("rec"))
+      .agg(count(lit(1)),
+        sum(pmod(conv(substring(md5(col("rec")), 1, 15), 16, 10).cast("long"),
+          lit(1000000007L)))).head()
+    assert(typed._1 == rel.getLong(0))
+    assert(typed._2 == rel.getLong(1))
   }
 
   test("warc_day layout: partition pruning reaches the file scan") {
