@@ -25,10 +25,11 @@ object Corpus {
 
   def htmlFor(id: Long, text: String, lang: String): Array[Byte] = {
     val m = id % 20
+    val v = ((id / 20) % 4).toInt // template variant — orthogonal to routing
     if (m == 7) PageHtml.garbageBytes(id)
     else if (m == 13) null
-    else if (m == 19) PageHtml.build(id, text, lang, corruptPayload = true).getBytes("UTF-8")
-    else PageHtml.build(id, text, lang, withPayload = id % 10 == 0).getBytes("UTF-8")
+    else if (m == 19) PageHtml.build(id, text, lang, corruptPayload = true, variant = v).getBytes("UTF-8")
+    else PageHtml.build(id, text, lang, withPayload = id % 10 == 0, variant = v).getBytes("UTF-8")
   }
 
   /** The page table as a DataFrame, one row per document. */

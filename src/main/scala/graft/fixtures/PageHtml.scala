@@ -25,7 +25,7 @@ object PageHtml {
   /** Bump whenever the page template / routing rules change — keys the
     * benchmark's staged-corpus cache so it never serves stale bytes.
     */
-  val CorpusVersion = 2
+  val CorpusVersion = 3
 
   val WordsPerPara = 25
 
@@ -63,11 +63,28 @@ object PageHtml {
 
   def url(id: Long): String = s"https://h${hostIndex(id)}.example.org/doc/$id"
 
+  /** The block immediately preceding the first content paragraph must
+    * have link density in (1/3, 5/9]: dropped, but not "very link dense"
+    * (see class scaladoc). Measured: 25 anchor chars / 48 chars = 0.52.
+    */
   private val Nav =
     """<header><nav>Navigation menu home <a href="/">start page</a> <a href="/news">news today</a> <a href="/sport">sport</a></nav></header>"""
 
   private val Footer =
     """<footer><a href="/imprint">imprint legal notice</a> <a href="/contact">contact us</a> copyright</footer>"""
+
+  /** Extra boilerplate blocks for template variants — each is strictly
+    * link-dense (> 1/3 anchor chars) so the classifier drops it on its
+    * own features, wherever it appears.
+    */
+  private val LinkFarm =
+    """<nav class="mega"><a href="/a">politics world</a> <a href="/b">economy markets</a> <a href="/c">culture arts</a> <a href="/d">science tech</a> <a href="/e">travel food</a></nav>"""
+  private val Related =
+    """<aside><h2><a href="/rel">related articles overview</a></h2><ul><li><a href="/r1">first related story</a></li><li><a href="/r2">second related story</a></li></ul></aside>"""
+  private val AdBlock =
+    """<div class="ad"><a href="/buy">sponsored offer click here</a></div>"""
+  private val FooterBig =
+    """<footer><div><a href="/imprint">imprint legal notice</a> <a href="/privacy">privacy policy text</a></div><div><a href="/contact">contact us</a> <a href="/jobs">jobs careers</a> copyright</div></footer>"""
 
   /** Base64 payload body for an embedded fake-PDF with the given text. */
   def payloadB64(kind: String, text: String): String = {
@@ -84,8 +101,16 @@ object PageHtml {
     * @param corruptPayload embed a syntactically valid base64 body that is
     *                     missing the payload magic — "payload" error route
     */
+  /** @param variant page-structure variant 0..3 — different boilerplate
+    *                 arrangements around the same content; extraction must
+    *                 recover `text` under every one (the round-trip oracle
+    *                 exercises all four). Invariants each variant keeps:
+    *                 every boilerplate block is link-dense, and the block
+    *                 directly before the first content paragraph is [[Nav]].
+    */
   def build(id: Long, text: String, lang: String,
-            withPayload: Boolean = false, corruptPayload: Boolean = false): String = {
+            withPayload: Boolean = false, corruptPayload: Boolean = false,
+            variant: Int = 0): String = {
     val words = if (text == null || text.isEmpty) Array.empty[String] else text.split(' ')
     val paras = words.grouped(WordsPerPara)
       .map(ws => s"<p>${escape(ws.mkString(" "))}</p>")
@@ -97,6 +122,43 @@ object PageHtml {
       else if (withPayload)
         s"""<object data="data:application/pdf;base64,${payloadB64("pdf", payloadText(id))}"></object>"""
       else ""
+    val body = variant match {
+      case 1 => // mega-menu + sidebar layout with related links after content
+        s"""$LinkFarm
+$Nav
+<div class="layout"><article>
+$paras
+</article>
+$Related</div>
+$payload
+$FooterBig"""
+      case 2 => // heading-in-anchor + ad block after content
+        s"""<header><h1><a href="/home">site name banner</a></h1></header>
+$Nav
+<section id="story">
+$paras
+</section>
+$AdBlock
+$payload
+$Footer"""
+      case 3 => // everything: menu, related, ads, big footer
+        s"""$LinkFarm
+$Related
+$Nav
+<main>
+$paras
+</main>
+$AdBlock
+$payload
+$FooterBig"""
+      case _ =>
+        s"""$Nav
+<main id="content">
+$paras
+</main>
+$payload
+$Footer"""
+    }
     s"""<!DOCTYPE html>
 <html lang="${escape(lang)}">
 <head>
@@ -106,12 +168,7 @@ object PageHtml {
 <script>var docId = $id;</script>
 </head>
 <body>
-$Nav
-<main id="content">
-$paras
-</main>
-$payload
-$Footer
+$body
 </body>
 </html>"""
   }
