@@ -114,20 +114,30 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash hamming-ball pairs (hd <= 3). NOTE: the testdata vocabulary
-    // is ~31 words, so ALL docs share most tokens and background hamming
-    // starts at ~4 — the threshold isolates true near-dups here but the
-    // margin is data-dependent; at web scale (rich vocab) the band-index
-    // variant of this join (split 60 bits into 4 bands of 15, join on any
-    // equal band — guaranteed for hd<=3) replaces the O(n²) pair scan.
+    // SimHash hamming-ball pairs (hd <= 3) via the band-index join: split
+    // the 60-bit hash into 4 bands of 15 bits — by pigeonhole, hd <= 3
+    // implies at least one band is EQUAL, so joining on (band_idx, band
+    // value) is an exact (not probabilistic) candidate generator. This is
+    // the 10^12-scale shape: an equality shuffle on ~n·4 keys instead of
+    // an O(n²) cross join; candidates are then hamming-filtered.
+    // NOTE: the testdata vocabulary is ~31 words, so ALL docs share most
+    // tokens and background hamming starts at ~4 — threshold 3 isolates
+    // true near-dups here; the margin is data-dependent.
     "d_simhash_pairs" -> ((s, dir) => {
       val sim = defs("d_simhash")(s, dir)
-      val a = sim.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
-      val b = sim.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
-      a.crossJoin(b).where(col("a_id") < col("b_id"))
-        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      val banded = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"shiftright(simhash, ${15 * i}) & 32767")): _*)))
+        .toDF("doc_id", "simhash", "band", "bv")
+      val a = banded.select(col("band"), col("bv"),
+        col("doc_id").as("a_id"), col("simhash").as("sa"))
+      val b = banded.select(col("band"), col("bv"),
+        col("doc_id").as("b_id"), col("simhash").as("sb"))
+      a.join(b, Seq("band", "bv"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(sa ^ sb)").as("hamming")).distinct()
         .where(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
