@@ -30,7 +30,9 @@ object Extractor {
           Right(ExtractedDoc(url, "", Nil))
         case Some(s) =>
           val spans = Spans.extract(html) // may throw PayloadException → "payload"
-          val blocks = Blocks.fromDom(Dom.build(Tokenizer.tokenize(s)))
+          // fused token→blocks pass (Blocks.fromTokens ≡ Dom.build ∘
+          // Blocks.fromDom, differential-tested in BlocksFusionSpec)
+          val blocks = Blocks.fromTokens(Tokenizer.tokenize(s))
           val text = Classifier.extractText(blocks) // "" for zero kept blocks (E5)
           Right(ExtractedDoc(url, text, spans))
       }

@@ -29,6 +29,10 @@ object Dom {
     "p", "div", "section", "article", "aside", "header", "footer", "nav",
     "main", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "table", "blockquote", "pre", "form", "figure", "dl", "dd", "dt")
+  /** exposed for the fused token→blocks path (Blocks.fromTokens) */
+  def impliesCloseTag(open: String, incoming: String): Boolean = impliesClose(open, incoming)
+  def isVoid(tag: String): Boolean = Void.contains(tag)
+
   private def impliesClose(open: String, incoming: String): Boolean =
     (pLike.contains(open) && closesP.contains(incoming)) ||
       (open == "li" && incoming == "li") ||

@@ -28,5 +28,6 @@ object StageProf {
     val blks = doms.map(Blocks.fromDom)
     time("classify") { blks.foreach(Classifier.extractText) }
     time("spans") { docs.foreach(Spans.extract) }
+    time("fused") { toks.foreach(Blocks.fromTokens) } // vs dom+blocks above
   }
 }
