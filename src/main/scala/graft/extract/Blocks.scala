@@ -89,28 +89,27 @@ object Blocks {
     }
   }
 
-  /** Single-pass block segmentation straight from the token stream — the
-    * hot path. Replicates [[fromDom]] exactly (same stack discipline as
-    * Dom.build, same flush points as the recursive walk) without
-    * materializing the tree; BlocksFusionSpec differential-tests the two
-    * on golden cases and arbitrary fuzz input.
+  /** Single-pass block segmentation as a streaming token handler — the
+    * hot path. Replicates Dom.build + [[fromDom]] exactly (same stack
+    * discipline, same flush points, br-run semantics preserved across end
+    * tags); BlocksFusionSpec differential-tests the two on golden cases
+    * and arbitrary fuzz input.
     */
-  def fromTokens(tokens: Seq[graft.html.Token]): Vector[Block] = {
-    import graft.html.{StartTag, EndTag, TextRun}
-    val b = new Builder
-    // stack of open tag names; parallel per-frame flags packed as bytes:
+  private final class BlockHandler extends graft.html.Tokenizer.TokenHandler {
+    private val b = new Builder
+    // stack of open tag names; parallel per-frame flags packed as bits:
     // bit0 = isAnchor, bit1 = isSkip, bit2 = isBlock
-    val tags = new ArrayBuffer[String](32)
-    var anchorDepth = 0
-    var skipDepth = 0
-    var brRun = 0
+    private val tags = new ArrayBuffer[String](32)
+    private val flags = new ArrayBuffer[Int](32)
+    private var anchorDepth = 0
+    private var skipDepth = 0
+    private var brRun = 0
 
-    @inline def flagsOf(tag: String): Int =
+    @inline private def flagsOf(tag: String): Int =
       (if (tag == "a") 1 else 0) | (if (Skip.contains(tag)) 2 else 0) |
         (if (BlockTags.contains(tag)) 4 else 0)
-    val flags = new ArrayBuffer[Int](32)
 
-    def pop(): Unit = {
+    private def pop(): Unit = {
       val i = tags.length - 1
       val f = flags(i)
       if ((f & 1) != 0) anchorDepth -= 1
@@ -119,44 +118,73 @@ object Blocks {
       tags.remove(i); flags.remove(i)
     }
 
-    tokens.foreach {
-      case TextRun(s) =>
-        brRun = 0
-        if (skipDepth == 0) b.append(s, anchorDepth > 0, tags.length)
-      case StartTag(name, _, selfClosing) =>
-        if (name == "br") {
-          if (skipDepth == 0) {
-            brRun += 1
-            if (brRun >= 2) b.flush() else b.softBreak()
-          }
-        } else {
-          brRun = 0
-          // implicit-close tolerance — same rule set as Dom.build
-          while (tags.nonEmpty && Dom.impliesCloseTag(tags(tags.length - 1), name)) pop()
-          val f = flagsOf(name)
-          if ((f & 4) != 0 && skipDepth == 0) b.flush()
-          if (!selfClosing && !Dom.isVoid(name)) {
-            tags += name
-            flags += f
-            if ((f & 1) != 0) anchorDepth += 1
-            if ((f & 2) != 0) skipDepth += 1
-          } else if ((f & 4) != 0 && skipDepth == 0) {
-            // void/self-closing block tag (e.g. <hr>): boundary both sides
-            b.flush()
-          }
-        }
-      case EndTag(name) =>
-        // NO brRun reset: the DOM walk never sees end events, so a br run
-        // straddling an end tag still counts (differential-tested)
-        var idx = tags.length - 1
-        while (idx >= 0 && tags(idx) != name) idx -= 1
-        if (idx >= 0) {
-          while (tags.length > idx) pop()
-        }
+    override def onText(s: String): Unit = {
+      brRun = 0
+      if (skipDepth == 0) b.append(s, anchorDepth > 0, tags.length)
     }
-    while (tags.nonEmpty) pop()
-    b.flush()
-    b.out.toVector
+
+    override def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+      if (name == "br") {
+        if (skipDepth == 0) {
+          brRun += 1
+          if (brRun >= 2) b.flush() else b.softBreak()
+        }
+      } else {
+        brRun = 0
+        // implicit-close tolerance — same rule set as Dom.build
+        while (tags.nonEmpty && Dom.impliesCloseTag(tags(tags.length - 1), name)) pop()
+        val f = flagsOf(name)
+        if ((f & 4) != 0 && skipDepth == 0) b.flush()
+        if (!selfClosing && !Dom.isVoid(name)) {
+          tags += name
+          flags += f
+          if ((f & 1) != 0) anchorDepth += 1
+          if ((f & 2) != 0) skipDepth += 1
+        } else if ((f & 4) != 0 && skipDepth == 0) {
+          // void/self-closing block tag (e.g. <hr>): boundary both sides
+          b.flush()
+        }
+      }
+    }
+
+    override def onEndTag(name: String): Unit = {
+      // NO brRun reset: the DOM walk never sees end events, so a br run
+      // straddling an end tag still counts (differential-tested)
+      var idx = tags.length - 1
+      while (idx >= 0 && tags(idx) != name) idx -= 1
+      if (idx >= 0) {
+        while (tags.length > idx) pop()
+      }
+    }
+
+    def finish(): Vector[Block] = {
+      while (tags.nonEmpty) pop()
+      b.flush()
+      b.out.toVector
+    }
+  }
+
+  /** Fully-fused hot path: decoded string → blocks, no token or tree
+    * materialization, no attr-list allocation.
+    */
+  def fromHtml(s: String): Vector[Block] = {
+    val h = new BlockHandler
+    graft.html.Tokenizer.scan(s, h)
+    h.finish()
+  }
+
+  /** Token-stream form of the same state machine (used by differential
+    * tests to compare against [[fromDom]] on identical token input).
+    */
+  def fromTokens(tokens: Seq[graft.html.Token]): Vector[Block] = {
+    import graft.html.{StartTag, EndTag, TextRun}
+    val h = new BlockHandler
+    tokens.foreach {
+      case TextRun(s)               => h.onText(s)
+      case StartTag(name, atts, sc) => h.onStartTag(name, atts, sc)
+      case EndTag(name)             => h.onEndTag(name)
+    }
+    h.finish()
   }
 
   /** Flatten a DOM into classified-ready blocks, document order. */

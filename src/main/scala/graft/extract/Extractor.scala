@@ -30,9 +30,9 @@ object Extractor {
           Right(ExtractedDoc(url, "", Nil))
         case Some(s) =>
           val spans = Spans.extract(html) // may throw PayloadException → "payload"
-          // fused token→blocks pass (Blocks.fromTokens ≡ Dom.build ∘
+          // fully-fused pass: string → blocks (≡ tokenize ∘ Dom.build ∘
           // Blocks.fromDom, differential-tested in BlocksFusionSpec)
-          val blocks = Blocks.fromTokens(Tokenizer.tokenize(s))
+          val blocks = Blocks.fromHtml(s)
           val text = Classifier.extractText(blocks) // "" for zero kept blocks (E5)
           Right(ExtractedDoc(url, text, spans))
       }

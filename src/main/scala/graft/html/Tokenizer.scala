@@ -183,15 +183,38 @@ object Tokenizer {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
+  /** Streaming consumer of the token events — the allocation-free hot
+    * path (no Token objects, and attr lists are skipped unless asked for).
+    */
+  trait TokenHandler {
+    def onText(s: String): Unit
+    def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+    def onEndTag(name: String): Unit
+    /** build attr lists? false ⇒ onStartTag receives Nil (cheaper) */
+    def wantAttrs: Boolean = false
+  }
+
   /** Tokenize a decoded document. Single pass; never throws. */
   def tokenize(s: String): ArraySeq[Token] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    scan(s, new TokenHandler {
+      override def onText(t: String): Unit = out += TextRun(t)
+      override def onStartTag(name: String, attrs: List[(String, String)], sc: Boolean): Unit =
+        out += StartTag(name, attrs, sc)
+      override def onEndTag(name: String): Unit = out += EndTag(name)
+      override def wantAttrs: Boolean = true
+    })
+    ArraySeq.unsafeWrapArray(out.toArray)
+  }
+
+  /** Single-pass event-driven tokenization; never throws. */
+  def scan(s: String, h: TokenHandler): Unit = {
     val n = s.length
     var i = 0
     var textStart = 0
 
     def flushText(until: Int): Unit =
-      if (until > textStart) out += TextRun(s.substring(textStart, until))
+      if (until > textStart) h.onText(s.substring(textStart, until))
 
     while (i < n) {
       val c = s.charAt(i)
@@ -199,12 +222,12 @@ object Tokenizer {
         val d = s.charAt(i + 1)
         if (isNameStart(d)) {
           flushText(i)
-          i = parseStartTag(s, i, out)
+          i = parseStartTag(s, i, h)
           textStart = i
         } else if (d == '/') {
           flushText(i)
           val (nm, jj) = parseEndTag(s, i)
-          if (nm.nonEmpty) out += EndTag(nm)
+          if (nm.nonEmpty) h.onEndTag(nm)
           i = jj
           textStart = i
         } else if (d == '!') {
@@ -222,7 +245,6 @@ object Tokenizer {
       } else i += 1
     }
     flushText(n)
-    ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** Parse `</name ...>` returning (lowercased name, index after '>').
@@ -237,12 +259,14 @@ object Tokenizer {
     if (gt < 0) ("", n) else (sb.toString, gt + 1)
   }
 
-  /** Parse a start tag with attributes; append StartTag (plus swallow raw
+  /** Parse a start tag with attributes; emit StartTag (plus swallow raw
     * content for script/style/title/textarea). Returns index after the tag
-    * (and after raw content for raw elements).
+    * (and after raw content for raw elements). Attr lists are built only
+    * when the handler asks (hot path skips the allocation + entity decode).
     */
-  private def parseStartTag(s: String, start: Int, out: scala.collection.mutable.ArrayBuffer[Token]): Int = {
+  private def parseStartTag(s: String, start: Int, h: TokenHandler): Int = {
     val n = s.length
+    val keepAttrs = h.wantAttrs
     var i = start + 1
     val nameSb = new java.lang.StringBuilder(8)
     while (i < n && isNameChar(s.charAt(i))) { nameSb.append(Character.toLowerCase(s.charAt(i))); i += 1 }
@@ -260,9 +284,10 @@ object Tokenizer {
           else i += 1
         case _ =>
           // attribute name
-          val an = new java.lang.StringBuilder(8)
+          val an = if (keepAttrs) new java.lang.StringBuilder(8) else null
           while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' && s.charAt(i) != '>' && s.charAt(i) != '/') {
-            an.append(Character.toLowerCase(s.charAt(i))); i += 1
+            if (keepAttrs) an.append(Character.toLowerCase(s.charAt(i)))
+            i += 1
           }
           while (i < n && isWs(s.charAt(i))) i += 1
           var av = ""
@@ -272,18 +297,18 @@ object Tokenizer {
             if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
               val q = s.charAt(i); i += 1
               val e = s.indexOf(q, i)
-              if (e < 0) { av = s.substring(i, n); i = n }
-              else { av = s.substring(i, e); i = e + 1 }
+              if (e < 0) { if (keepAttrs) av = s.substring(i, n); i = n }
+              else { if (keepAttrs) av = s.substring(i, e); i = e + 1 }
             } else {
               val vs = i
               while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
-              av = s.substring(vs, i)
+              if (keepAttrs) av = s.substring(vs, i)
             }
           }
-          if (an.length > 0) attrs = (an.toString, decodeEntities(av)) :: attrs
+          if (keepAttrs && an.length > 0) attrs = (an.toString, decodeEntities(av)) :: attrs
       }
     }
-    out += StartTag(name, attrs.reverse, selfClosing)
+    h.onStartTag(name, if (keepAttrs) attrs.reverse else Nil, selfClosing)
     // raw / rcdata elements: swallow content up to the matching close tag
     if (!selfClosing && (RawText.contains(name) || RcData.contains(name))) {
       val close = "</" + name
@@ -301,9 +326,9 @@ object Tokenizer {
         }
         found
       }
-      if (lower < 0) { out += EndTag(name); return n }
+      if (lower < 0) { h.onEndTag(name); return n }
       val gt = s.indexOf('>', lower)
-      out += EndTag(name)
+      h.onEndTag(name)
       return if (gt < 0) n else gt + 1
     }
     i

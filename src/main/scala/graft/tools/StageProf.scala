@@ -28,6 +28,7 @@ object StageProf {
     val blks = doms.map(Blocks.fromDom)
     time("classify") { blks.foreach(Classifier.extractText) }
     time("spans") { docs.foreach(Spans.extract) }
-    time("fused") { toks.foreach(Blocks.fromTokens) } // vs dom+blocks above
+    time("fusedtok") { toks.foreach(Blocks.fromTokens) } // vs dom+blocks above
+    time("fusedall") { strs.foreach(Blocks.fromHtml) }   // vs tokenize+dom+blocks
   }
 }

@@ -14,12 +14,14 @@ class BlocksFusionSpec extends AnyFunSuite {
 
   private def both(s: String) = {
     val toks = Tokenizer.tokenize(s)
-    (Blocks.fromTokens(toks), Blocks.fromDom(Dom.build(toks)))
+    val tree = Blocks.fromDom(Dom.build(toks))
+    (Blocks.fromTokens(toks), Blocks.fromHtml(s), tree)
   }
 
   private def assertSame(s: String): Unit = {
-    val (fused, tree) = both(s)
-    assert(fused == tree, s"fused != tree for input: ${s.take(200)}")
+    val (fromToks, fused, tree) = both(s)
+    assert(fromToks == tree, s"fromTokens != tree for input: ${s.take(200)}")
+    assert(fused == tree, s"fromHtml != tree for input: ${s.take(200)}")
   }
 
   test("identical on all golden cases and fixture variants") {
@@ -59,8 +61,8 @@ class BlocksFusionSpec extends AnyFunSuite {
       Gen.const("&amp;"))
     val docGen = Gen.listOf(piece).map(_.mkString)
     val prop = Prop.forAll(docGen) { s =>
-      val (fused, tree) = both(s)
-      fused == tree
+      val (fromToks, fused, tree) = both(s)
+      fromToks == tree && fused == tree
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
