@@ -72,7 +72,9 @@ object Bench {
     val mbPerSec = bytes / 1e6 / extractSec
 
     // --- headline query timings ------------------------------------------
-    val qs = SparkEntry.queries
+    // (skippable for scaling-matrix runs that only need extract_sec)
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val qs = if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] else SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok = try { qs(name)(spark, sfDir).count(); true }

@@ -40,6 +40,17 @@ object Multimodal {
     out
   }
 
+  val AudioSamples = 64 // fake 8-bit "waveform" samples
+  val AudioWindow = 16
+
+  def encodeAudio(id: Long): Array[Byte] = {
+    val out = new Array[Byte](2 + AudioSamples)
+    out(0) = 'G'; out(1) = 'A'
+    var i = 0
+    while (i < AudioSamples) { out(2 + i) = ((id * 17 + i * i) % 251).toByte; i += 1 }
+    out
+  }
+
   def encodeVideo(id: Long): Array[Byte] = {
     val out = new Array[Byte](2 + NumFrames * FrameBytes)
     out(0) = 'G'; out(1) = 'V'
@@ -71,8 +82,8 @@ object Multimodal {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .map(id => (id, encodeImage(id), encodeVideo(id)))
-      .toDF("doc_id", "img", "vid")
+      .map(id => (id, encodeImage(id), encodeVideo(id), encodeAudio(id)))
+      .toDF("doc_id", "img", "vid", "aud")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,6 +114,29 @@ object Multimodal {
         }
         .toDF("doc_id", "width", "height", "new_w", "new_h")
         .orderBy(col("doc_id"))
+    }),
+
+    // audio feature extraction: integer energy (sum of squared samples)
+    // per fixed window over the fake waveform — real byte parsing
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      assets(s, dir).select(col("doc_id"), col("aud"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, b) =>
+          require(b(0) == 'G' && b(1) == 'A', "bad audio magic")
+          (0 until AudioSamples / AudioWindow).map { w =>
+            var e = 0L
+            var j = 0
+            while (j < AudioWindow) {
+              val v = (b(2 + w * AudioWindow + j) & 0xff).toLong
+              e += v * v
+              j += 1
+            }
+            (id, w, e)
+          }
+        }
+        .toDF("doc_id", "win", "energy")
+        .orderBy(col("doc_id"), col("win"))
     }),
 
     // frame sampling: every 3rd frame, per-frame byte-sum digest
@@ -141,6 +175,13 @@ object Multimodal {
         |  width * 32 // greatest(width, height) AS new_w,
         |  height * 32 // greatest(width, height) AS new_h
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_audio_energy" ->
+      s"""SELECT doc_id, w AS win,
+         |  CAST((SELECT sum(((doc_id*17 + (w*$AudioWindow+j)*(w*$AudioWindow+j)) % 251)
+         |            * ((doc_id*17 + (w*$AudioWindow+j)*(w*$AudioWindow+j)) % 251))
+         |     FROM generate_series(0, ${AudioWindow - 1}) t(j)) AS BIGINT) AS energy
+         |FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) v(w)
+         |ORDER BY doc_id, win""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, f AS frame_idx,
          |  CAST((SELECT sum((doc_id*131 + f*17 + j) % 251)
