@@ -77,6 +77,27 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing fingerprints (MOSS-style rolling-window scheme, the
+    // dedup/plagiarism fingerprint family): hash every 3-word shingle,
+    // keep the MIN hash in each sliding window of 4 — a document is
+    // represented by a small, alignment-robust fingerprint set. Hashes
+    // are md5-60bit so DuckDB reproduces them exactly.
+    "t_winnow" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))")))
+        .toDF("doc_id", "pos", "shingle")
+        .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      sh.withColumn("wmin", min(col("h")).over(w))
+        .select(col("doc_id"), col("wmin").as("fingerprint")).distinct()
+        .orderBy(col("doc_id"), col("fingerprint"))
+    }),
+
     // document fingerprinting: md5 digest + numeric 60-bit fp
     "t_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -125,6 +146,21 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
         |  len(list_distinct(string_split(text,' '))) AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i-1 AS pos,
+        |    ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,15))::BIGINT h
+        |  FROM toks CROSS JOIN generate_series(1, 2048) t(i)
+        |  WHERE i <= len(ws)-2 AND len(ws) >= 3),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        |  FROM sh)
+        |SELECT DISTINCT doc_id, fingerprint FROM wm
+        |ORDER BY doc_id, fingerprint""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp60
