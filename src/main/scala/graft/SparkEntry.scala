@@ -29,6 +29,8 @@ object SparkEntry {
       TextAnalysis.defs ++ Multimodal.defs ++ Map[String, (SparkSession, String) => DataFrame](
       "st_events_windowed" -> ((s, dir) =>
         StreamingExtract.eventsWindowed(s, dir, "st_events_windowed_sink")),
+      "st_windowed_watermark" -> ((s, dir) =>
+        StreamingExtract.eventsWindowedWatermarked(s, dir, "st_windowed_wm_sink")),
       "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
@@ -40,5 +42,16 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Map(
       // streaming results must equal their batch forms
       "st_events_windowed" -> Relational.oracles("q_events_windowed"),
-      "st_sessions" -> Relational.oracles("q_events_sessions"))
+      "st_sessions" -> Relational.oracles("q_events_sessions"),
+      // watermarked append mode: exactly the windows closed by
+      // (global max event time − 10 min)
+      "st_windowed_watermark" ->
+        """WITH agg AS (
+          |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+          |    event_type, count(*) AS n, round(sum(value),2) AS sum_value
+          |  FROM events GROUP BY 1,2)
+          |SELECT wstart, event_type, n, sum_value FROM agg
+          |WHERE wstart + INTERVAL '5 minutes' <=
+          |  (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+          |ORDER BY wstart DESC, event_type LIMIT 500""".stripMargin)
 }

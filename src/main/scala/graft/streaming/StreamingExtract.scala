@@ -89,6 +89,43 @@ object StreamingExtract {
       .limit(500)
   }
 
+  /** Watermarked append-mode windowed aggregation: only windows closed by
+    * the event-time watermark (max event time − 10 min) are emitted — the
+    * late-data-bounded form. With AvailableNow, the final no-data
+    * micro-batch advances the watermark to global max − 10 min, so the
+    * emitted set is exactly the batch aggregation restricted to windows
+    * whose end ≤ that watermark (the DuckDB oracle computes precisely
+    * this).
+    */
+  def eventsWindowedWatermarked(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // DESC order: the watermark cut is at the latest windows, so it must
+    // land inside the compared prefix (a LIMIT on ascending order would
+    // never look at the boundary)
+    spark.table(sinkName)
+      .orderBy(col("wstart").desc, col("event_type"))
+      .limit(500)
+  }
+
   /** Stateful streaming: per-user session counts via
     * flatMapGroupsWithState — the custom-state surface (SURVEY.md §2.6).
     * Batch-checkable because AvailableNow + a single input file processes
