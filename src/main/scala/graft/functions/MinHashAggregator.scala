@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** MinHash signature as a typed Aggregator: each shingle string is hashed
+  * ONCE (FNV-1a 64), and the `NumPerms` permutation hashes are derived by
+  * splitmix64 finalization of (h ⊕ seed·φ) — the standard one-hash
+  * many-permutations construction. This replaces 64 independent
+  * string-hash aggregate columns (which re-hash every string 64 times and
+  * blow up the generated agg code) with one array-buffer aggregate:
+  * mergeable, order-independent, and map-side-combining under
+  * groupByKey.agg.
+  */
+object MinHashAggregator extends Aggregator[(Long, String), Array[Long], Seq[Long]] {
+
+  val NumPerms = 64
+  private val Phi = 0x9e3779b97f4a7c15L
+
+  @inline private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var z = x0 + Phi
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def zero: Array[Long] = Array.fill(NumPerms)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], row: (Long, String)): Array[Long] = {
+    val h0 = fnv1a64(row._2)
+    var i = 0
+    while (i < NumPerms) {
+      val m = splitmix64(h0 ^ (Phi * (i + 1)))
+      if (m < buf(i)) buf(i) = m
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumPerms) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(r)
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

@@ -36,7 +36,10 @@ object Dedup {
         a.join(b, Seq("shingle")).where(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
       case Some(cd) =>
-        cd.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "sa"), Seq("a_id"))
+        // the candidate set is tiny (near-dup pairs + band collisions):
+        // broadcast it so the shingle table is never shuffled here
+        broadcast(cd)
+          .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "sa"), Seq("a_id"))
           .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "sb"), Seq("b_id"))
           .where(col("sa") === col("sb"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
@@ -71,20 +74,23 @@ object Dedup {
     // replaced by LSH at scale
     "d_jaccard_pairs" -> ((s, dir) => verifiedPairs(shingles(docs(s, dir)), None)),
 
-    // MinHash + LSH banding: 128 perms via seeded xxhash64, 32 bands × 4
-    // rows; candidates from band-bucket equality join (shuffles only
-    // (band, hash) keys — the 10^12-scale path), then exact-verified.
-    // Output is identical to d_jaccard_pairs (same oracle): proves recall.
+    // MinHash + LSH banding: 64-perm signatures from ONE string hash per
+    // shingle (typed MinHashAggregator — map-side combining, no 64-way
+    // agg-column codegen), 16 bands × 4 rows; candidates from the
+    // band-bucket equality join (shuffles only (band, hash) keys — the
+    // 10^12-scale path), then exact-verified. Output is identical to
+    // d_jaccard_pairs (same oracle): proves recall.
     "d_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
       val sh = shingles(docs(s, dir)).cache()
-      val mhCols: Seq[Column] = (0 until NumPerms).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      val bandCols: Seq[Column] = (0 until Bands).map { b =>
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*).as(s"band$b")
-      }
-      val bands = mh.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)))
+      val mh = sh.as[(Long, String)]
+        .groupByKey(_._1)
+        .agg(graft.functions.MinHashAggregator.toColumn.name("mh"))
+        .toDF("doc_id", "mh")
+      val bands = mh
+        .select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
+          xxhash64((4 * b until 4 * b + 4).map(i => element_at(col("mh"), i + 1)): _*)
+        }: _*)))
         .toDF("doc_id", "band", "bh")
       val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
       val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
