@@ -122,6 +122,27 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // hierarchical aggregation: ROLLUP with subtotals + grand total
+    "q_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // pivot-style conditional aggregation (portable FILTER/CASE form)
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("rev_f"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // HLL sketch surface — engine-specific values, so no SQL oracle;
     // QueriesSpec bounds the relative error against the exact count
     "q_approx_distinct" -> ((s, dir) => {
@@ -241,6 +262,20 @@ object Relational {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders, round(min(o_totalprice),2) AS min_price,
         |  round(max(o_totalprice),2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice),2) AS rev, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END),2) AS rev_f
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
