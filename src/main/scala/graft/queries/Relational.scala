@@ -101,6 +101,18 @@ object Relational {
       y95.except(y96).orderBy(col("o_custkey"))
     }),
 
+    // semi + anti joins: customers active in 1997 with no 1998 orders
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val y97 = ord.where(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      val y98 = ord.where(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      cust.join(y97, cust("c_custkey") === y97("o_custkey"), "left_semi")
+        .join(y98, col("c_custkey") === y98("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // sort + limit with full tiebreak
     "q_orders_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -252,6 +264,14 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_orders_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total,
