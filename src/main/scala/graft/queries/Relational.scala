@@ -196,6 +196,24 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // AS-OF join: attach to every event the timestamp of the user's most
+    // recent prior (or same-instant) 'signup'. Realized as a running max
+    // over an ordered window — one shuffle on user_id, no range-join
+    // blowup, the shape that survives 10^12 rows (a naive range join is
+    // O(events × signups) per user).
+    "q_asof_signup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("asof_signup_ms",
+          max(when(col("event_type") === "signup", col("ms"))).over(w))
+        .where(col("event_id") % 20 === 0) // sample output rows
+        .select(col("event_id"), col("user_id"), col("ms"), col("asof_signup_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // tumbling-window agg (batch form; StreamingSpec proves the identical
     // readStream → window → agg produces the same result)
     "q_events_windowed" -> ((s, dir) => {
@@ -320,6 +338,15 @@ object Relational {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_signup" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |  max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_signup_ms
+        |FROM events QUALIFY event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type,
