@@ -17,11 +17,12 @@ object Bench {
   /** headline subset: one per operator family, heaviest shapes */
   private val headline = Seq(
     "q01_pricing_summary", "q03_topk_revenue", "q05_region_revenue",
-    "q_window_topk", "q_events_sessions", "q_events_windowed",
+    "q_window_topk", "q_rollup_revenue", "q_pivot_status", "q_semi_anti",
+    "q_asof_signup", "q_events_sessions", "q_events_windowed",
     "x_extract", "x_hosts_salted", "x_lineage",
-    "d_exact_canonical", "d_minhash_lsh", "d_simhash",
+    "d_exact_canonical", "d_minhash_lsh", "d_simhash", "d_simhash_pairs",
     "s_ann_bruteforce", "t_quality", "t_tokens", "t_fingerprint",
-    "mm_image_meta")
+    "t_winnow", "mm_image_meta", "mm_audio_energy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
