@@ -56,14 +56,104 @@ object Dedup {
   private val NumPerms = 64
   private val Bands = 16 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-12, still ~0 at any corpus size we run
 
+  /** per-doc 60-bit SimHash via the one-pass typed aggregator */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(graft.functions.SimHashAggregator.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
+  /** base ∪ mutated embedding corpus with L2 norms (shared by the exact
+    * and LSH near-dup variants — identical output contract)
+    */
+  private def embedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val aug = base.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(e, x -> x + 0.01d)").as("e"))
+    base.union(aug)
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
+  }
+
+  /** exact cosine over a candidate-pair universe; cands must carry
+    * (a_id, b_id) with a_id < b_id and is broadcast (tiny after LSH)
+    */
+  private def cosineVerified(corpus: DataFrame, cands: DataFrame): DataFrame =
+    broadcast(cands)
+      .join(corpus.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), Seq("a_id"))
+      .join(corpus.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), Seq("b_id"))
+      .withColumn("cos_r", round(
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
+          (col("na") * col("nb")), 3))
+      .where(col("cos_r") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("cos_r"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  // random-hyperplane LSH geometry: 8 bands × 16 sign bits. For a planted
+  // near-dup pair (angle ≲ 0.02 rad ⇒ per-plane flip prob θ/π ≲ 0.006)
+  // P(miss all 8 bands) ≈ ((1−(1−.006)^16))^8 < 1e-8; for background pairs
+  // (cos ≤ .51 ⇒ flip ≥ 1/3) P(band match) ≤ (2/3)^16 ≈ 1.5e-3, so the
+  // candidate set stays ~1e-2 of the pair space. Deterministic Rademacher
+  // planes (splitmix64 of (plane,dim)) — no runtime randomness.
+  private val EPlanes = 128
+  private val EBands = 8
+  private val EBitsPerBand = 16
+
+  @inline private def planePositive(p: Int, d: Int): Boolean = {
+    var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) < 0
+  }
+
+  /** (vec_id, band, band_hash) sign-bit signatures — computed entirely
+    * map-side in a typed flatMap; the only shuffle downstream is the
+    * band-equality join on ~n·EBands small keys.
+    */
+  private def hyperplaneBands(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    corpus.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .flatMap { case (id, e) =>
+        val dims = e.length
+        val out = new Array[(Long, Int, Int)](EBands)
+        var b = 0
+        while (b < EBands) {
+          var h = 0
+          var k = 0
+          while (k < EBitsPerBand) {
+            val p = b * EBitsPerBand + k
+            var dot = 0.0
+            var d = 0
+            while (d < dims) {
+              dot += (if (planePositive(p, d)) e(d) else -e(d))
+              d += 1
+            }
+            h = (h << 1) | (if (dot > 0) 1 else 0)
+            k += 1
+          }
+          out(b) = (id, b, h)
+          b += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+      .toDF("vec_id", "band", "bh")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // exact dedup: canonical id per identical-text group
+    // exact dedup: canonical id per identical-text group. Keyed on
+    // md5(text) — groupBy gets map-side partial aggregation and the
+    // shuffle/sort key is 32 bytes instead of the full document text
+    // (the Window.partitionBy(text) form sorts multi-KB keys at scale).
     "d_exact_canonical" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("text"))
-      docs(s, dir)
-        .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("th"))
+      val canon = d.groupBy(col("th")).agg(min(col("doc_id")).as("canonical_id"))
+      d.join(canon, Seq("th"))
         .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
         .select(col("doc_id"), col("canonical_id"), col("is_dup"))
         .orderBy(col("doc_id"))
@@ -101,24 +191,11 @@ object Dedup {
     }),
 
     // SimHash (60-bit, md5-based token hashes, frequency-weighted) — the
-    // per-doc fingerprint; hamming-ball search is the scale variant
-    "d_simhash" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      val th = tf.withColumn("h",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      val bits = th
-        .select(col("doc_id"), col("h"), col("w"),
-          explode(sequence(lit(0), lit(59))).as("j"))
-        .withColumn("contrib",
-          when(expr("pmod(shiftright(h, j), 2) = 1"), col("w")).otherwise(-col("w")))
-        .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("sgn"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("sgn") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-          .otherwise(0L)).as("simhash"))
-        .orderBy(col("doc_id"))
-    }),
+    // per-doc fingerprint; hamming-ball search is the scale variant.
+    // One-pass typed Aggregator over raw token occurrences: the 60 signed
+    // bit-counters combine map-side, so the only shuffle carries one
+    // 60-long partial per (partition, doc) — no 60× row amplification.
+    "d_simhash" -> ((s, dir) => simhash(s, dir).orderBy(col("doc_id"))),
 
     // SimHash hamming-ball pairs (hd <= 3) via the band-index join: split
     // the 60-bit hash into 4 bands of 15 bits — by pigeonhole, hd <= 3
@@ -130,7 +207,9 @@ object Dedup {
     // tokens and background hamming starts at ~4 — threshold 3 isolates
     // true near-dups here; the margin is data-dependent.
     "d_simhash_pairs" -> ((s, dir) => {
-      val sim = defs("d_simhash")(s, dir)
+      // cache the fingerprint table: both sides of the self-join read it,
+      // and at scale it IS the persisted index (16 bytes/doc)
+      val sim = simhash(s, dir).cache()
       val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           expr(s"shiftright(simhash, ${15 * i}) & 32767")): _*)))
@@ -149,14 +228,12 @@ object Dedup {
 
     // embedding-cosine near-dup pairs over the base ∪ mutated corpus
     // (deterministic +0.01 perturbation, vec_id+100000) — finds exactly
-    // the planted (i, i+100000) pairs; cosine >= 0.9 (natural max ~0.51)
+    // the planted (i, i+100000) pairs; cosine >= 0.9 (natural max ~0.51).
+    // All-pairs crossJoin: the EXACT BASELINE only — d_embed_lsh is the
+    // scale path (same output, same oracle), mirroring the
+    // d_jaccard_pairs / d_minhash_lsh pairing.
     "d_embed_dups" -> ((s, dir) => {
-      val base = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-      val aug = base.select((col("vec_id") + 100000).as("vec_id"),
-        expr("transform(e, x -> x + 0.01d)").as("e"))
-      val corpus = base.union(aug)
-        .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
+      val corpus = embedCorpus(s, dir)
       val a = corpus.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
       val b = corpus.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
       a.crossJoin(b).where(col("a_id") < col("b_id"))
@@ -166,6 +243,21 @@ object Dedup {
         .where(col("cos_r") >= 0.9)
         .select(col("a_id"), col("b_id"), col("cos_r"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // the 10^12-scale embedding near-dup: random-hyperplane LSH band join
+    // generates candidates (equality shuffle on ~n·8 keys, NO cross join),
+    // exact cosine verifies them. Output identical to d_embed_dups —
+    // the shared oracle proves recall.
+    "d_embed_lsh" -> ((s, dir) => {
+      val corpus = embedCorpus(s, dir).cache()
+      val sig = hyperplaneBands(s, corpus)
+      val a = sig.select(col("band"), col("bh"), col("vec_id").as("a_id"))
+      val b = sig.select(col("band"), col("bh"), col("vec_id").as("b_id"))
+      val cands = a.join(b, Seq("band", "bh"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cosineVerified(corpus, cands)
     }))
 
   private val shingleSqlDuck =
@@ -228,7 +320,11 @@ object Dedup {
         |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END)
         |    AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "d_embed_dups" ->
+    "d_embed_dups" -> embedDupsSqlDuck,
+    // identical output contract: hyperplane LSH must recover every pair
+    "d_embed_lsh" -> embedDupsSqlDuck)
+
+  private lazy val embedDupsSqlDuck =
       """WITH corpus AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
         |  FROM embeddings
@@ -248,5 +344,5 @@ object Dedup {
         |  SELECT a_id, b_id, round(dot/(na.nrm*nb.nrm), 3) cos_r
         |  FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id)
         |SELECT a_id, b_id, cos_r FROM c WHERE cos_r >= 0.9
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin
 }

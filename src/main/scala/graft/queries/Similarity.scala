@@ -13,13 +13,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
 
   private val dotExpr = expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+
+  /** Map-side nearest-centroid assignment: the codebook is a literal
+    * array column (tiny — one struct per cell), and the argmax over it is
+    * an inline higher-order expression. Zero shuffles — at 10^12 rows this
+    * is the only shape that survives (a Window.partitionBy(vec_id) +
+    * row_number argmax shuffles the full corpus once per Lloyd iteration
+    * for a per-row argmax over 8 broadcast centroids). Row norm is
+    * constant across cells, so cosine argmax = (dot/cn) argmax; strict `>`
+    * with cells iterated in ascending order keeps the lowest cell on ties
+    * (same tie-break as ORDER BY score DESC, cell ASC).
+    */
+  private[graft] def nearestCell(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val carr = array(cents.sortBy(_._1).map { case (c, v) =>
+      val cn = math.sqrt(v.map(x => x * x).sum)
+      struct(lit(c).as("cell"), typedLit(v).as("ce"), lit(cn).as("cn"))
+    }: _*)
+    corpus.withColumn("carr", carr)
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(carr, c -> named_struct(
+          |    'cell', c.cell,
+          |    'score', aggregate(zip_with(e, c.ce, (x, y) -> x * y), 0d, (a, x) -> a + x) / c.cn)),
+          |  named_struct('cell', -1, 'score', cast('-Infinity' as double)),
+          |  (acc, s) -> if(s.score > acc.score, s, acc),
+          |  acc -> acc.cell)""".stripMargin))
+      .select(col("vec_id"), col("cell"), col("e"))
+  }
 
   /** top-k cosine neighbors for each query vector (vec_id < 10) */
   def bruteforce(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -53,29 +80,22 @@ object Similarity {
       broadcast(cents.toDF("cell", "ce")
         .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
 
-    def assign(cents: Seq[(Int, Seq[Double])]) = {
-      val wv = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-      all.crossJoin(centDf(cents))
-        .withColumn("ccos",
-          expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
-            (col("nrm") * col("cn")))
-        .withColumn("arnk", row_number().over(wv))
-        .where(col("arnk") === 1)
-        .select(col("vec_id"), col("cell"), col("e"))
-    }
+    def assign(cents: Seq[(Int, Seq[Double])]) = nearestCell(all, cents)
 
     // init: the `cells` lowest vec_ids as seed centroids
     var cents: Seq[(Int, Seq[Double])] = all.orderBy(col("vec_id")).limit(cells)
       .select(col("e")).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
+      // centroid recompute: typed vector-mean aggregator — one
+      // (sum-vector, count) partial per (partition, cell) crosses the
+      // wire, instead of posexploding n×dim rows through two shuffles
       cents = assign(cents)
-        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
-        .groupBy(col("cell"), col("i")).agg(avg(col("v")).as("cv"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)").as("ce"))
+        .select(col("cell"), col("e")).as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .agg(graft.functions.VecMeanAggregator.toColumn.name("ce"))
         .collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map { case (c, ce) => (c, ce) }
         .sortBy(_._1)
     }
     val cellOf = assign(cents).select(col("vec_id"), col("cell"))

@@ -55,6 +55,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d_embed_lsh: no cartesian product / nested-loop join anywhere") {
+    val plan = graft.queries.Dedup.defs("d_embed_lsh")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"crossJoin crept back in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join crept in:\n$plan")
+  }
+
+  test("IVF nearest-cell assignment stage has zero exchanges") {
+    val corpus = graft.queries.Similarity.emb(spark, sfDir)
+    val cents = (0 until 4).map(c => (c, Seq.tabulate(64)(d => (c + d % 3).toDouble)))
+    val plan = graft.queries.Similarity.nearestCell(corpus, cents)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-side only:\n$plan")
+    assert(!plan.contains("Window"), s"no window argmax:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
     graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)

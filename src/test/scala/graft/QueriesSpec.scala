@@ -20,6 +20,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH pairs must equal exact pairs: missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
+  test("hyperplane-LSH embed dedup recovers exactly the all-pairs result") {
+    val exact = Dedup.defs("d_embed_dups")(spark, sfDir).collect().toSet
+    val lsh = Dedup.defs("d_embed_lsh")(spark, sfDir).collect().toSet
+    assert(exact.nonEmpty, "corpus must contain planted embedding near-dups")
+    assert(lsh == exact, s"LSH pairs must equal exact pairs: missing=${exact -- lsh}, extra=${lsh -- exact}")
+  }
+
   test("IVF ANN reaches recall >= 0.8 of brute-force top-5") {
     val exact = Similarity.bruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
