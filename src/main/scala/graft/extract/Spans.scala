@@ -75,6 +75,14 @@ object Spans {
           val magic = if (kind == "pdf") MagicPdf else MagicLay
           if (!startsWith(decoded, magic)) throw PayloadException(s"missing $kind magic at $b64Start")
           val text = new String(decoded, magic.length, decoded.length - magic.length, "UTF-8")
+          // data-integrity invariant: span text must be NUL-free (it flows
+          // into the extracted-text contract). A well-formed container
+          // (valid base64 + magic) carrying NUL bytes is not a corrupt
+          // payload — it is an unexpected internal state, routed to the
+          // reference's third reason code "unexpected"
+          // (/root/reference/src/kafka_consumer.py:139-142).
+          if (text.indexOf(0.toChar) >= 0)
+            throw new IllegalStateException(s"NUL byte in decoded $kind payload at $b64Start")
           if (out == null) out = ArrayBuffer.empty[Span]
           out += Span(kind, b64Start.toLong, end.toLong, text)
           i = end

@@ -10,6 +10,7 @@ import java.sql.Timestamp
   *
   * Error-variant routing is a frozen function of doc_id so the oracle SQL
   * can predict every row:
+  *   - doc_id % 20 == 3  → well-formed payload w/ NUL text → "unexpected"
   *   - doc_id % 20 == 7  → garbage bytes  → extracted_text "" (valid row)
   *   - doc_id % 20 == 13 → null html      → "validation" error
   *   - doc_id % 20 == 19 → corrupt embedded payload → "payload" error
@@ -28,6 +29,7 @@ object Corpus {
     val v = ((id / 20) % 4).toInt // template variant — orthogonal to routing
     if (m == 7) PageHtml.garbageBytes(id)
     else if (m == 13) null
+    else if (m == 3) PageHtml.build(id, text, lang, poisonPayload = true, variant = v).getBytes("UTF-8")
     else if (m == 19) PageHtml.build(id, text, lang, corruptPayload = true, variant = v).getBytes("UTF-8")
     else PageHtml.build(id, text, lang, withPayload = id % 10 == 0, variant = v).getBytes("UTF-8")
   }

@@ -49,6 +49,8 @@ object GoldenCases {
 
     ("golden://payload-corrupt", b(PageHtml.build(999L, W, "en", corruptPayload = true)), "en"),
 
+    ("golden://payload-poison-nul", b(PageHtml.build(888L, W, "en", poisonPayload = true)), "en"),
+
     ("golden://data-uri-image-ignored", b(s"""<p>$W</p><img src="data:image/png;base64,iVBORw0KGgo="><p>$W</p>"""), "en"),
 
     ("golden://garbage", PageHtml.garbageBytes(7L, 256), "en"),

@@ -25,7 +25,7 @@ object PageHtml {
   /** Bump whenever the page template / routing rules change — keys the
     * benchmark's staged-corpus cache so it never serves stale bytes.
     */
-  val CorpusVersion = 3
+  val CorpusVersion = 4
 
   val WordsPerPara = 25
 
@@ -108,8 +108,15 @@ object PageHtml {
     *                 every boilerplate block is link-dense, and the block
     *                 directly before the first content paragraph is [[Nav]].
     */
+  /** @param poisonPayload embed a WELL-FORMED layout payload (valid base64,
+    *                 valid magic) whose decoded text contains a NUL byte —
+    *                 trips the span extractor's data-integrity invariant →
+    *                 "unexpected" error route (the reference's third reason,
+    *                 /root/reference/test/test_kafka_consumer.py:160-195)
+    */
   def build(id: Long, text: String, lang: String,
             withPayload: Boolean = false, corruptPayload: Boolean = false,
+            poisonPayload: Boolean = false,
             variant: Int = 0): String = {
     val words = if (text == null || text.isEmpty) Array.empty[String] else text.split(' ')
     val paras = words.grouped(WordsPerPara)
@@ -119,6 +126,8 @@ object PageHtml {
       if (corruptPayload)
         // valid base64, wrong magic → PayloadException → "payload" reason
         s"""<object data="data:application/pdf;base64,${java.util.Base64.getEncoder.encodeToString(("not a pdf " + id).getBytes("UTF-8"))}"></object>"""
+      else if (poisonPayload)
+        s"""<object data="data:application/x-layout;base64,${payloadB64("layout", "poison" + 0.toChar + id)}"></object>"""
       else if (withPayload)
         s"""<object data="data:application/pdf;base64,${payloadB64("pdf", payloadText(id))}"></object>"""
       else ""

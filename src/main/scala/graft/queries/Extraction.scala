@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.fixtures.Corpus
+import graft.fixtures.{Corpus, PageHtml}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,19 +46,66 @@ object Extraction {
         .select(col("doc_id"), col("extracted_text"))
         .orderBy(col("doc_id"))),
 
-    // 3-way error router output (validation/payload reasons)
+    // 3-way error router output — ALL THREE reasons exercised end-to-end
+    // (validation / payload / unexpected), mirroring the reference's
+    // dedicated unexpected-error test
+    // (/root/reference/test/test_kafka_consumer.py:160-195)
     "x_errors" -> ((s, dir) =>
       extracted(s, dir).where(col("error").isNotNull)
         .select(col("doc_id"), col("error").as("reason"))
         .orderBy(col("doc_id"))),
 
-    // embedded-payload spans (kind + decoded text; byte offsets are
-    // template-dependent and covered by unit tests instead)
+    // embedded-payload spans INCLUDING byte offsets into the raw html —
+    // the oracle predicts start/end from the page-template arithmetic
+    // (constants probed from the real builder at SQL-generation time),
+    // the same exact-output pinning as the reference
+    // (/root/reference/test/test_ocr_engine.py:30-48)
     "x_spans" -> ((s, dir) =>
       extracted(s, dir).where(size(col("spans")) > 0)
         .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .select(col("doc_id"), col("sp.kind").as("kind"), col("sp.text").as("span_text"))
+        .select(col("doc_id"), col("sp.kind").as("kind"), col("sp.text").as("span_text"),
+          col("sp.start").as("span_start"), col("sp.end").as("span_end"))
         .orderBy(col("doc_id"))),
+
+    // op S2 (JSON value deserializer): from_json over a deterministic
+    // request-message column with malformed rows ROUTED, not crashed —
+    // improving on the reference, which dies on bad JSON
+    // (/root/reference/src/kafka_consumer.py:115). Missing required
+    // fields route to "validation" (the Pydantic strict contract,
+    // /root/reference/src/kafka_models.py:6-18).
+    "x_json_route" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("sessionId", StringType),
+        StructField("messageId", StringType),
+        StructField("bucket", StringType),
+        StructField("fileName", StringType),
+        StructField("_corrupt", StringType)))
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 15 === 4,
+            // malformed: truncated JSON (no closing brace)
+            concat(lit("{\"sessionId\":\"s"), col("doc_id")))
+          .when(col("doc_id") % 15 === 8,
+            // valid JSON, required field missing
+            concat(lit("{\"sessionId\":\"s"), col("doc_id"),
+              lit("\",\"messageId\":\"m"), col("doc_id"), lit("\",\"bucket\":\"documents\"}")))
+          .otherwise(
+            concat(lit("{\"sessionId\":\"s"), col("doc_id"),
+              lit("\",\"messageId\":\"m"), col("doc_id"),
+              lit("\",\"bucket\":\"documents\",\"fileName\":\"f"), col("doc_id"), lit(".png\"}")))
+          .as("value"))
+      raw.withColumn("m",
+          from_json(col("value"), schema,
+            Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("doc_id"),
+          when(col("m._corrupt").isNotNull, "malformed_json")
+            .when(col("m.sessionId").isNull or col("m.messageId").isNull or
+              col("m.bucket").isNull or col("m.fileName").isNull, "validation")
+            .otherwise("ok").as("reason"),
+          when(col("m._corrupt").isNull, col("m.sessionId")).as("session_id"))
+        .orderBy(col("doc_id"))
+    }),
 
     // skew-aware per-host stats: Zipf-skewed hosts (h0 carries half the
     // corpus) aggregated via two-phase salted agg — partial agg on
@@ -90,24 +137,67 @@ object Extraction {
           sum(pmod(fp60(col("rec")), lit(1000000007L))).as("digest"))
         .orderBy(col("qpid"))))
 
+  /** Per-variant constant byte count preceding the base64 body, probed
+    * from the REAL page builder at SQL-generation time: every other
+    * contribution to the offset is variable (2×id digits in head, lang,
+    * paragraph bytes), so
+    * start = const(v) + 2·len(id) + len(lang) + len(text) + 7·npara.
+    * Probing (instead of hand-counting template bytes) keeps the oracle
+    * constants honest under template edits — a drifted template fails the
+    * hash gate instead of silently matching.
+    */
+  private lazy val spanConsts: IndexedSeq[Int] = (0 to 3).map { v =>
+    val id = 30L
+    val text = "alpha beta gamma" // 3 words → 1 para → parasLen = 16 + 7
+    val html = PageHtml.build(id, text, "de", withPayload = true, variant = v)
+    val idx = html.indexOf("base64,") + "base64,".length
+    idx - 2 * id.toString.length - "de".length - (text.length + 7)
+  }
+
   val oracles: Map[String, String] = Map(
     "x_extract" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text
-        |FROM documents WHERE doc_id%20 NOT IN (13, 19)
+        |FROM documents WHERE doc_id%20 NOT IN (3, 13, 19)
         |ORDER BY doc_id""".stripMargin,
 
     "x_errors" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id%20 = 13 THEN 'validation' ELSE 'payload' END AS reason
-        |FROM documents WHERE doc_id%20 IN (13, 19)
+        |  CASE WHEN doc_id%20 = 13 THEN 'validation'
+        |       WHEN doc_id%20 = 3 THEN 'unexpected'
+        |       ELSE 'payload' END AS reason
+        |FROM documents WHERE doc_id%20 IN (3, 13, 19)
         |ORDER BY doc_id""".stripMargin,
 
     "x_spans" ->
-      """SELECT doc_id, 'pdf' AS kind,
-        |  'embedded payload ' || doc_id AS span_text
-        |FROM documents WHERE doc_id%10 = 0
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    length(CAST(doc_id AS VARCHAR)) AS idlen,
+         |    strlen(lang) AS langlen,
+         |    strlen(text)
+         |      + 7 * ((len(string_split(text, ' ')) + 24) // 25) AS paraslen,
+         |    CAST((doc_id // 20) % 4 AS INT) AS v
+         |  FROM documents WHERE doc_id%10 = 0),
+         |o AS (
+         |  SELECT doc_id, idlen,
+         |    CASE v WHEN 0 THEN ${spanConsts(0)} WHEN 1 THEN ${spanConsts(1)}
+         |           WHEN 2 THEN ${spanConsts(2)} ELSE ${spanConsts(3)} END
+         |      + 2*idlen + langlen + paraslen AS span_start
+         |  FROM p)
+         |SELECT doc_id, 'pdf' AS kind,
+         |  'embedded payload ' || doc_id AS span_text,
+         |  CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_start + 4 * ((25 + idlen) // 3) AS BIGINT) AS span_end
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "x_json_route" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%15 = 4 THEN 'malformed_json'
+        |       WHEN doc_id%15 = 8 THEN 'validation'
+        |       ELSE 'ok' END AS reason,
+        |  CASE WHEN doc_id%15 = 4 THEN NULL
+        |       ELSE 's' || doc_id END AS session_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_hosts_salted" ->
       s"""SELECT $hostSql AS host, count(*) AS n_docs,
@@ -119,9 +209,10 @@ object Extraction {
       s"""WITH rows_ AS (
          |  SELECT doc_id,
          |    'https://' || $hostSql || '/doc/' || doc_id AS url,
-         |    CASE WHEN doc_id%20 = 13 THEN NULL WHEN doc_id%20 = 19 THEN NULL
+         |    CASE WHEN doc_id%20 IN (3, 13, 19) THEN NULL
          |         WHEN doc_id%20 = 7 THEN '' ELSE text END AS et,
          |    CASE WHEN doc_id%20 = 13 THEN 'validation'
+         |         WHEN doc_id%20 = 3 THEN 'unexpected'
          |         WHEN doc_id%20 = 19 THEN 'payload' END AS err
          |  FROM documents),
          |keyed AS (

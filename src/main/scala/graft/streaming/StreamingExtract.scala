@@ -38,19 +38,28 @@ object StreamingExtract {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
-  /** Stream a directory of page parquet into extracted parquet. Returns
-    * after all available input is processed (AvailableNow).
+  /** The extraction transform applied to ANY streaming page source — file,
+    * memory, rate, or (with the connector jar) Kafka: the source seam is
+    * exactly the `format(...)`/source call, nothing else changes. Proven
+    * executable over a second source type in StreamingSpec's
+    * MemoryStream case.
     */
-  def runFileStream(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
-    GraftFunctions.register(spark)
-    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
-    val out = pages
+  def extractTransform(pages: DataFrame): DataFrame =
+    pages
       .withColumn("r", call_function("extract_content", col("url"), col("html"), col("lang")))
       .select(col("url"),
         col("r.extracted_text").as("extracted_text"),
         col("r.spans").as("spans"),
         col("r.error").as("error"),
         ExtractJob.pidCol(16).as("pid"))
+
+  /** Stream a directory of page parquet into extracted parquet. Returns
+    * after all available input is processed (AvailableNow).
+    */
+  def runFileStream(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
+    GraftFunctions.register(spark)
+    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
+    val out = extractTransform(pages)
     val q = out.writeStream
       .format("parquet")
       .option("path", outDir)

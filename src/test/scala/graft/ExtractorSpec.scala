@@ -57,6 +57,14 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Extractor.extract("https://x/p", bytes(html), "en").swap.toOption.get.reason == "payload")
   }
 
+  test("well-formed payload with NUL text → unexpected error (3rd reason code)") {
+    // valid base64 + valid magic, so NOT "payload" — the NUL trips the
+    // span-text integrity invariant (reference's unexpected-error route,
+    // /root/reference/test/test_kafka_consumer.py:160-195)
+    val html = PageHtml.build(3, "some words here", "en", poisonPayload = true)
+    assert(Extractor.extract("https://x/u", bytes(html), "en").swap.toOption.get.reason == "unexpected")
+  }
+
   // --- span extractor -------------------------------------------------
 
   test("embedded pdf payload: text and byte offsets") {

@@ -28,11 +28,14 @@ class PipelineSpec extends AnyFunSuite {
     val nTotal = docs.count()
     val nVal = docs.filter(col("doc_id") % 20 === 13).count()
     val nPay = docs.filter(col("doc_id") % 20 === 19).count()
+    val nUnx = docs.filter(col("doc_id") % 20 === 3).count()
     assert(report.docsTotal == nTotal)
     assert(report.failedValidation == nVal)
     assert(report.failedPayload == nPay)
-    assert(report.failedUnexpected == 0)
-    assert(report.docsOk == nTotal - nVal - nPay)
+    // the third reason code is EXERCISED, not just declared — mirrors the
+    // reference's unexpected-error test (test_kafka_consumer.py:160-195)
+    assert(nUnx > 0 && report.failedUnexpected == nUnx)
+    assert(report.docsOk == nTotal - nVal - nPay - nUnx)
     assert(report.pidsProcessed == 16)
     assert(report.bytesIn > 0)
 

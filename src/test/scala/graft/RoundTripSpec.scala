@@ -30,9 +30,10 @@ class RoundTripSpec extends AnyFunSuite {
       col("doc_id"),
       when(col("doc_id") % 20 === 13, lit("validation"))
         .when(col("doc_id") % 20 === 19, lit("payload"))
+        .when(col("doc_id") % 20 === 3, lit("unexpected"))
         .otherwise(lit(null)).as("exp_error"),
       when(col("doc_id") % 20 === 7, lit(""))
-        .when(col("doc_id") % 20 === 13 || col("doc_id") % 20 === 19, lit(null))
+        .when((col("doc_id") % 20).isin(3, 13, 19), lit(null))
         .otherwise(col("text")).as("exp_text"))
 
     val joined = out.join(expected, Seq("doc_id"), "full_outer").cache()
@@ -61,7 +62,7 @@ class RoundTripSpec extends AnyFunSuite {
       col("stext") =!= concat(lit("embedded payload "), col("doc_id").cast("string"))).count()
     assert(badSpans == 0)
     val expectedSpanCount = docs.filter(col("doc_id") % 10 === 0 &&
-      col("doc_id") % 20 =!= 7 && col("doc_id") % 20 =!= 13 && col("doc_id") % 20 =!= 19).count()
+      !(col("doc_id") % 20).isin(3, 7, 13, 19)).count()
     assert(spanRows.count() == expectedSpanCount)
     out.unpersist(); joined.unpersist()
   }

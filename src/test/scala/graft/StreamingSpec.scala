@@ -45,4 +45,37 @@ class StreamingSpec extends AnyFunSuite {
       "streamed output must equal batch output")
     pages.unpersist(); out.unpersist()
   }
+
+  test("source seam is just the source call: same transform over a MemoryStream") {
+    // proves SURVEY §2.1 S1's claim executably: swapping the file source
+    // for an in-memory streaming source changes ONLY the readStream line —
+    // extractTransform and the sink are untouched (a Kafka source with the
+    // connector jar would be the same one-line swap)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val sample = Corpus.pages(spark, sfDir).where(col("doc_id") < 40)
+      .select("doc_id", "url", "warc_ts", "html", "text", "lang")
+      .as[(Long, String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect()
+    assert(sample.nonEmpty)
+
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp, Array[Byte], String, String)](spark)
+    ms.addData(sample.toSeq)
+    val pages = ms.toDF().toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+    val q = StreamingExtract.extractTransform(pages).writeStream
+      .format("memory").queryName("st_memsrc_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("st_memsrc_sink").select("url", "extracted_text", "error")
+    val batch = Corpus.pages(spark, sfDir).where(col("doc_id") < 40)
+      .withColumn("r", call_function("extract_content", col("url"), col("html"), col("lang")))
+      .select(col("url"), col("r.extracted_text").as("extracted_text"), col("r.error").as("error"))
+    assert(streamed.count() == sample.length)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "memory-source streamed output must equal batch output")
+  }
 }
