@@ -60,7 +60,6 @@ object ExtractJob {
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: JobConfig): RunReport = {
     GraftFunctions.register(spark)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val listener = new GraftMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
@@ -94,6 +93,11 @@ object ExtractJob {
       .repartition(cfg.numPids, col("pid"))
 
     extracted.write.mode(SaveMode.Overwrite).partitionBy("pid")
+      // scoped to THIS write (not session config): only the pids present
+      // in the batch are overwritten — per-pid idempotent rerun — without
+      // silently changing Overwrite semantics for other writes on the
+      // caller's shared session
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"${cfg.outputDir}/docs")
 
     // lineage + metrics from the WRITTEN output (column-pruned read of the

@@ -44,14 +44,19 @@ object Lineage {
 
   def committedPids(outputDir: String): Set[Int] = readManifest(outputDir)._2
 
-  /** Append lineage rows and atomically publish the new manifest. */
+  /** Write the snapshot's lineage rows and atomically publish the new
+    * manifest. Rows go to a SNAPSHOT-KEYED subdirectory (`data/offset=N`,
+    * overwrite): a crash between the data write and the manifest rename
+    * leaves an orphan directory that (a) readers never see — table()/
+    * tableAt() bound reads by the COMMITTED snapshot — and (b) the retry
+    * overwrites in place, so no duplicate rows can ever accumulate.
+    */
   def commit(spark: SparkSession, outputDir: String, lineage: DataFrame): Unit = {
     val (snap, already) = readManifest(outputDir)
     val newSnap = snap + 1
-    import org.apache.spark.sql.functions._
-    val stamped = lineage.withColumn("offset", lit(newSnap))
-      .select("partition_id", "offset", "rows", "bytes", "digest")
-    stamped.write.mode(SaveMode.Append).parquet(s"$outputDir/_lineage/data")
+    val stamped = lineage.select("partition_id", "rows", "bytes", "digest")
+    stamped.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outputDir/_lineage/data/offset=$newSnap")
     val pids = stamped.select("partition_id").collect().map(_.getInt(0)).toSet
     val all = (already ++ pids).toSeq.sorted
     val json = s"""{"snapshot":$newSnap,"committed_pids":[${all.mkString(",")}]}"""
@@ -68,13 +73,19 @@ object Lineage {
     tableAt(spark, outputDir, Long.MaxValue)
 
   /** Snapshot time travel (the Iceberg-snapshot analog): lineage as of
-    * snapshot `snap` — latest row per pid with offset <= snap.
+    * snapshot `snap` — latest row per pid with offset <= snap. Reads are
+    * bounded by the committed manifest snapshot, so orphan data from a
+    * crashed commit is invisible (only manifest-referenced snapshots
+    * exist to readers). The `offset` column is the partition directory —
+    * Spark prunes un-read snapshots at the file listing.
     */
   def tableAt(spark: SparkSession, outputDir: String, snap: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    val (committedSnap, _) = readManifest(outputDir)
+    val bound = math.min(snap, committedSnap)
     val raw = spark.read.parquet(s"$outputDir/_lineage/data")
-      .where(col("offset") <= snap)
+      .where(col("offset") <= bound)
     val w = Window.partitionBy(col("partition_id")).orderBy(col("offset").desc)
     raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }

@@ -46,9 +46,23 @@ final case class RunReport(
   def failureRate: Double =
     if (docsTotal > 0) (failedValidation + failedPayload + failedUnexpected).toDouble / docsTotal else 0.0
 
+  /** proper JSON string escape — stage names are arbitrary (first line of
+    * the call site): quotes, backslashes and control chars must all be
+    * escaped or the metrics file is invalid JSON
+    */
+  private def jstr(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   def toJson(stages: Seq[GraftMetricsListener#StageRec]): String = {
     val stageJson = stages.map { s =>
-      s"""{"stage":${s.stageId},"name":"${s.name.replace("\"", "'")}","tasks":${s.tasks},""" +
+      s"""{"stage":${s.stageId},"name":"${jstr(s.name)}","tasks":${s.tasks},""" +
         s""""executor_run_ms":${s.executorRunTimeMs},"input_bytes":${s.inputBytes},""" +
         s""""input_records":${s.inputRecords},"output_bytes":${s.outputBytes},""" +
         s""""shuffle_write_bytes":${s.shuffleWriteBytes}}"""

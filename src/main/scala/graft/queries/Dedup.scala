@@ -263,10 +263,12 @@ object Dedup {
   private val shingleSqlDuck =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |idx AS (
+      |  -- bound derived from the row itself: no silent cap on doc length
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks),
       |sh AS (
       |  SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
-      |  FROM toks CROSS JOIN generate_series(1, 2048) t(i)
-      |  WHERE i <= len(ws)-2),
+      |  FROM idx),
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c

@@ -149,11 +149,14 @@ object TextAnalysis {
     "t_winnow" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |idx AS (
+        |  -- bound derived from the row itself: no silent cap on doc length
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |  FROM toks WHERE len(ws) >= 3),
         |sh AS (
         |  SELECT doc_id, i-1 AS pos,
         |    ('0x'||substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]),1,15))::BIGINT h
-        |  FROM toks CROSS JOIN generate_series(1, 2048) t(i)
-        |  WHERE i <= len(ws)-2 AND len(ws) >= 3),
+        |  FROM idx),
         |wm AS (
         |  SELECT doc_id,
         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos

@@ -137,8 +137,15 @@ object StreamingExtract {
 
   /** Stateful streaming: per-user session counts via
     * flatMapGroupsWithState — the custom-state surface (SURVEY.md §2.6).
-    * Batch-checkable because AvailableNow + a single input file processes
-    * everything in order within each group sort.
+    *
+    * ORDERING CONTRACT: the fold sorts events by (ms, event_id) only
+    * WITHIN a micro-batch; exact batch parity therefore requires all
+    * events of a user to arrive in one batch (enforced below: single
+    * staged file + AvailableNow with no maxFilesPerTrigger = one batch).
+    * With genuinely unbounded out-of-order input, the production shape is
+    * event-time sessionization under a watermark —
+    * `session_window(ts, gap)` aggregation (bounded state, late events
+    * beyond the watermark dropped) — not an unordered stateful fold.
     */
   def sessionCounts(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
@@ -150,7 +157,13 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val staged = stageDir(s"$dir/events.parquet")
+    // enforce the single-batch assumption the in-batch sort relies on
+    val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    require(nFiles == 1,
+      s"sessionCounts needs a single input file (one AvailableNow batch), found $nFiles in $staged")
+    val events = spark.readStream.schema(schema).parquet(staged)
       .select(col("user_id"),
         unix_millis(col("ts").cast("timestamp")).as("ms"), // ts is NTZ; session TZ UTC
         col("event_id"))

@@ -88,6 +88,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Lineage.tableAt(spark, out, 2L).count() == 16)
   }
 
+  test("crash between lineage write and manifest rename: orphan snapshot invisible, retry clean") {
+    import spark.implicits._
+    val out = freshDir("orphan")
+    val pages = Corpus.pages(spark, sfDir)
+    ExtractJob.run(spark, pages, JobConfig(out, numPids = 8))
+    val committedRows = Lineage.table(spark, out).count()
+
+    // simulate a crashed second commit: data written, manifest NOT renamed
+    Seq((0, 1L, 1L, "9"), (1, 1L, 1L, "9"))
+      .toDF("partition_id", "rows", "bytes", "digest")
+      .write.mode("overwrite").parquet(s"$out/_lineage/data/offset=2")
+
+    // readers are bounded by the committed manifest: the orphan is invisible
+    assert(Lineage.table(spark, out).count() == committedRows)
+    assert(Lineage.table(spark, out).agg(max(col("offset"))).head.getInt(0) == 1)
+
+    // a retried commit OVERWRITES the orphan directory — no duplicates
+    Lineage.commit(spark, out,
+      Seq((7, 5L, 5L, "42")).toDF("partition_id", "rows", "bytes", "digest"))
+    val snap2 = spark.read.parquet(s"$out/_lineage/data").where(col("offset") === 2)
+    assert(snap2.count() == 1 && snap2.select("digest").head.getString(0) == "42")
+  }
+
   test("typed Aggregator digest matches the relational md5 digest (UDAF surface)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
