@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, Extraction, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Curation, Dedup, Extraction, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.StreamingExtract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *        embedding-cosine)
   *   s_*  similarity search (brute-force cosine top-k, IVF probe)
   *   t_*  text analysis (lang-id, quality, tokens, fingerprints)
+  *   c_*  corpus curation (deterministic splits, filter→dedup→shard pass)
   *   mm_* multimodal binary-column plumbing (stubbed codec, real bytes)
   *   st_* Structured Streaming (AvailableNow parity with the batch oracle)
   */
@@ -26,7 +27,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Extraction.defs ++ Dedup.defs ++ Similarity.defs ++
-      TextAnalysis.defs ++ Multimodal.defs ++ Map[String, (SparkSession, String) => DataFrame](
+      TextAnalysis.defs ++ Multimodal.defs ++ Curation.defs ++
+      Map[String, (SparkSession, String) => DataFrame](
       "st_events_windowed" -> ((s, dir) =>
         StreamingExtract.eventsWindowed(s, dir, "st_events_windowed_sink")),
       "st_windowed_watermark" -> ((s, dir) =>
@@ -39,7 +41,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Extraction.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++ Map(
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      Curation.oracles ++ Map(
       // streaming results must equal their batch forms
       "st_events_windowed" -> Relational.oracles("q_events_windowed"),
       "st_sessions" -> Relational.oracles("q_events_sessions"),

@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window argmax:\n$plan")
   }
 
+  test("c_split assignment is map-side only (zero exchanges except the output sort)") {
+    val q = graft.queries.Curation.defs("c_split")(spark, sfDir)
+    // drop the presentation orderBy — the assignment itself must not shuffle
+    val plan = q.queryExecution.sparkPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // exactly the range-partitioning exchange of the final orderBy
+    assert(exchanges <= 1, s"split assignment must not shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"no hash shuffle in assignment:\n$plan")
+  }
+
+  test("c_curate shuffles only on the 32-byte dedup hash, never document text") {
+    val plan = graft.queries.Curation.defs("c_curate")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!badExchange, s"document text must not be a shuffle key:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"dedup agg must have a map-side partial phase:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
     graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)
