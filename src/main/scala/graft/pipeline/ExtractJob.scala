@@ -103,10 +103,18 @@ object ExtractJob {
     // lineage + metrics from the WRITTEN output (column-pruned read of the
     // small result table — never a second pass over the raw html)
     val written = docs(spark, cfg.outputDir).where(col("pid").isin(runPids: _*))
+    // digest is md5-60bit (not xxhash64): any external system — DuckDB,
+    // Trino, a Python auditor — can recompute the per-partition digest
+    // from the written parquet alone and verify lineage integrity
+    // without running this engine (same construction as x_lineage /
+    // DigestAggregator)
+    val rec = concat(col("url"), lit(":"),
+      coalesce(col("extracted_text"), lit("~")), lit(":"),
+      coalesce(col("error"), lit("~")))
     val agg = written.groupBy(col("pid")).agg(
       count(lit(1)).as("rows"),
       sum("in_bytes").as("bytes"),
-      sum(pmod(xxhash64(col("url"), col("extracted_text"), col("error")), lit(1000000007L))).as("dig"),
+      sum(pmod(conv(substring(md5(rec), 1, 15), 16, 10).cast("long"), lit(1000000007L))).as("dig"),
       sum(when(col("error").isNull, 1L).otherwise(0L)).as("ok"),
       sum(when(col("error") === "validation", 1L).otherwise(0L)).as("f_val"),
       sum(when(col("error") === "payload", 1L).otherwise(0L)).as("f_pay"),
