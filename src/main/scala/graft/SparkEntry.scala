@@ -33,7 +33,9 @@ object SparkEntry {
         StreamingExtract.eventsWindowed(s, dir, "st_events_windowed_sink")),
       "st_windowed_watermark" -> ((s, dir) =>
         StreamingExtract.eventsWindowedWatermarked(s, dir, "st_windowed_wm_sink")),
-      "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)))
+      "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)),
+      "st_session_window" -> ((s, dir) =>
+        StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -48,6 +50,32 @@ object SparkEntry {
       "st_sessions" -> Relational.oracles("q_events_sessions"),
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
+      // session_window append mode: gaps-and-islands sessions (gap 30 min,
+      // break at diff >= gap — Spark merges only when the next event
+      // starts strictly before session end), emitted iff the session end
+      // is not after the final watermark (global max event time − 10 min)
+      "st_session_window" ->
+        """WITH b AS (
+          |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms,
+          |    CASE WHEN lag(epoch_ms(ts)) OVER
+          |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+          |        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |g AS (
+          |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM b),
+          |agg AS (
+          |  SELECT user_id, min(ms) AS s_start_ms,
+          |    max(ms) + 1800000 AS s_end_ms,
+          |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |  FROM g GROUP BY user_id, sid)
+          |SELECT user_id, s_start_ms, s_end_ms, n_events, sum_value
+          |FROM agg
+          |WHERE s_end_ms <= (SELECT epoch_ms(max(ts)) - 600000 FROM events)
+          |ORDER BY s_start_ms DESC, user_id LIMIT 500""".stripMargin,
       "st_windowed_watermark" ->
         """WITH agg AS (
           |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,

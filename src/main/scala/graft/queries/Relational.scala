@@ -216,6 +216,21 @@ object Relational {
 
     // tumbling-window agg (batch form; StreamingSpec proves the identical
     // readStream → window → agg produces the same result)
+    // exact interpolated percentiles (distribution stats a data pipeline
+    // reports per cohort). percentile() is the exact sort-based form —
+    // the oracle-checkable baseline; approx_percentile is the sketch
+    // variant at 10^12 rows (same call shape, bounded error).
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_events_windowed" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
@@ -325,6 +340,14 @@ object Relational {
         |  md5(o_orderstatus) AS status_md5,
         |  round(o_totalprice*0.1,2) AS tithe
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_sessions" ->
       """WITH g AS (

@@ -135,6 +135,44 @@ object StreamingExtract {
       .limit(500)
   }
 
+  /** Event-time sessionization under a watermark — the UNBOUNDED
+    * out-of-order production shape (bounded state, late events beyond the
+    * watermark dropped): `session_window(ts, gap)` merges events closer
+    * than the gap into one session; append mode emits exactly the
+    * sessions closed by the final watermark (global max event time − 10
+    * min), which the DuckDB oracle reproduces with gaps-and-islands SQL.
+    */
+  def sessionWindows(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start").cast("timestamp")).as("s_start_ms"),
+        unix_millis(col("sw.end").cast("timestamp")).as("s_end_ms"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // DESC: the watermark cut is at the latest sessions — keep it inside
+    // the compared prefix
+    spark.table(sinkName)
+      .orderBy(col("s_start_ms").desc, col("user_id"))
+      .limit(500)
+  }
+
   /** Stateful streaming: per-user session counts via
     * flatMapGroupsWithState — the custom-state surface (SURVEY.md §2.6).
     *
