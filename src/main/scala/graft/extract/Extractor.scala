@@ -33,7 +33,7 @@ object Extractor {
           // fully-fused pass: string → blocks (≡ tokenize ∘ Dom.build ∘
           // Blocks.fromDom, differential-tested in BlocksFusionSpec)
           val blocks = Blocks.fromHtml(s)
-          val text = Classifier.extractText(blocks) // "" for zero kept blocks (E5)
+          val text = Classifier.extractText(blocks, lang) // "" for zero kept blocks (E5)
           Right(ExtractedDoc(url, text, spans))
       }
     } catch {

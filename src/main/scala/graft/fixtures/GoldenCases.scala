@@ -51,6 +51,13 @@ object GoldenCases {
 
     ("golden://payload-poison-nul", b(PageHtml.build(888L, W, "en", poisonPayload = true)), "en"),
 
+    // lang-keyed stopword rescue (E4): the SAME short free-standing block
+    // is kept iff it reads as prose in the page's declared language
+    ("golden://short-prose-en", b("<p>this is the end of the story and it is good</p>"), "en"),
+    ("golden://short-prose-wrong-lang", b("<p>this is the end of the story and it is good</p>"), "de"),
+    ("golden://short-prose-de", b("<p>das ist der anfang und das ende hier gut</p>"), "de"),
+    ("golden://short-no-stopwords", b("<p>alpha beta gamma delta epsilon zeta eta</p>"), "en"),
+
     ("golden://data-uri-image-ignored", b(s"""<p>$W</p><img src="data:image/png;base64,iVBORw0KGgo="><p>$W</p>"""), "en"),
 
     ("golden://garbage", PageHtml.garbageBytes(7L, 256), "en"),

@@ -26,7 +26,7 @@ object StageProf {
     val doms = toks.map(Dom.build)
     time("blocks") { doms.foreach(Blocks.fromDom) }
     val blks = doms.map(Blocks.fromDom)
-    time("classify") { blks.foreach(Classifier.extractText) }
+    time("classify") { blks.foreach(Classifier.extractText(_, "en")) }
     time("spans") { docs.foreach(Spans.extract) }
     time("fusedtok") { toks.foreach(Blocks.fromTokens) } // vs dom+blocks above
     time("fusedall") { strs.foreach(Blocks.fromHtml) }   // vs tokenize+dom+blocks

@@ -57,6 +57,25 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Extractor.extract("https://x/p", bytes(html), "en").swap.toOption.get.reason == "payload")
   }
 
+  test("lang-keyed stopword rescue: short prose kept iff it matches the page language") {
+    val prose = "<p>this is the end of the story and it is good</p>"
+    def withLang(html: String, lang: String): String =
+      Extractor.extract("https://x/sw", bytes(html), lang).toOption.get.extracted_text
+    // en prose + lang=en: rescued (stopword ratio 6/11 >= 1/6)
+    assert(withLang(prose, "en") == "this is the end of the story and it is good")
+    // same bytes, lang=de: de stopword table has no hits → dropped
+    assert(withLang(prose, "de") == "")
+    // unsupported lang: no table, densometric rules only → dropped
+    assert(withLang(prose, "xx") == "")
+    // de prose + lang=de: rescued
+    assert(withLang("<p>das ist der anfang und das ende hier gut</p>", "de")
+      == "das ist der anfang und das ende hier gut")
+    // short stopword-free block: never rescued
+    assert(withLang("<p>alpha beta gamma delta epsilon zeta eta</p>", "en") == "")
+    // rescue is KEEP-only: a link-dense block with stopwords stays dropped
+    assert(withLang("""<div><a href="/x">the end of the story is a good one and the rest</a></div>""", "en") == "")
+  }
+
   test("well-formed payload with NUL text → unexpected error (3rd reason code)") {
     // valid base64 + valid magic, so NOT "payload" — the NUL trips the
     // span-text integrity invariant (reference's unexpected-error route,
