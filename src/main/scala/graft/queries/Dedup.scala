@@ -56,6 +56,22 @@ object Dedup {
   private val NumPerms = 64
   private val Bands = 16 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-12, still ~0 at any corpus size we run
 
+  /** (doc_id, band, band_hash) MinHash band table — the LSH index rows.
+    * One string hash per shingle (typed MinHashAggregator), 16 bands × 4
+    * rows; map-side combining, one shuffle keyed on doc_id.
+    */
+  private def minhashBands(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val mh = sh.as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(graft.functions.MinHashAggregator.toColumn.name("mh"))
+      .toDF("doc_id", "mh")
+    mh.select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
+        xxhash64((4 * b until 4 * b + 4).map(i => element_at(col("mh"), i + 1)): _*)
+      }: _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
   /** per-doc 60-bit SimHash via the one-pass typed aggregator */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -171,22 +187,35 @@ object Dedup {
     // 10^12-scale path), then exact-verified. Output is identical to
     // d_jaccard_pairs (same oracle): proves recall.
     "d_minhash_lsh" -> ((s, dir) => {
-      import s.implicits._
       val sh = shingles(docs(s, dir)).cache()
-      val mh = sh.as[(Long, String)]
-        .groupByKey(_._1)
-        .agg(graft.functions.MinHashAggregator.toColumn.name("mh"))
-        .toDF("doc_id", "mh")
-      val bands = mh
-        .select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
-          xxhash64((4 * b until 4 * b + 4).map(i => element_at(col("mh"), i + 1)): _*)
-        }: _*)))
-        .toDF("doc_id", "band", "bh")
+      val bands = minhashBands(s, sh)
       val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
       val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
       val cands = a.join(b, Seq("band", "bh"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+      verifiedPairs(sh, Some(cands))
+    }),
+
+    // INCREMENTAL dedup — the continuous-crawl shape: an already-indexed
+    // corpus A (even doc_ids; in production the PERSISTED band-index
+    // table, read not rebuilt) and a new batch B (odd doc_ids). Only B's
+    // bands probe the index: candidates = B×(A ∪ B) band-equality join —
+    // the join is proportional to the NEW batch, never O(corpus²), and A
+    // internal pairs are never re-examined. Output = all near-dup pairs
+    // touching B (same jaccard >= 0.8 contract).
+    "d_incremental" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val bands = minhashBands(s, sh)
+      val idxA = bands.where(col("doc_id") % 2 === 0) // persisted-index stand-in
+      val bNew = bands.where(col("doc_id") % 2 === 1)
+      val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
+        .join(idxA.union(bNew).select(col("band"), col("bh"), col("doc_id").as("y_id")),
+          Seq("band", "bh"))
+        .where(col("x_id") =!= col("y_id"))
+        .select(least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"))
+        .distinct()
       verifiedPairs(sh, Some(cands))
     }),
 
@@ -260,6 +289,9 @@ object Dedup {
       cosineVerified(corpus, cands)
     }))
 
+  private def shingleSqlDuckWhere(extra: String) = shingleSqlDuck.replace(
+    "WHERE 9*c >= 4*(sa.n+sb.n)", s"WHERE 9*c >= 4*(sa.n+sb.n)$extra")
+
   private val shingleSqlDuck =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -290,6 +322,9 @@ object Dedup {
     "d_jaccard_pairs" -> shingleSqlDuck,
     // identical output contract: LSH must recover every >=0.8 pair
     "d_minhash_lsh" -> shingleSqlDuck,
+    // incremental = every near-dup pair touching the new (odd) batch;
+    // pairs internal to the indexed corpus are out of scope by contract
+    "d_incremental" -> shingleSqlDuckWhere(" AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)"),
     "d_simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),

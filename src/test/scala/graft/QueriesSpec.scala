@@ -20,6 +20,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH pairs must equal exact pairs: missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
+  test("incremental dedup = full near-dup pairs minus index-internal pairs") {
+    val full = Dedup.defs("d_jaccard_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.defs("d_incremental")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    assert(inc == expected, s"missing=${expected -- inc}, extra=${inc -- expected}")
+    assert(inc.size < full.size, "index-internal pairs must be excluded")
+  }
+
   test("hyperplane-LSH embed dedup recovers exactly the all-pairs result") {
     val exact = Dedup.defs("d_embed_dups")(spark, sfDir).collect().toSet
     val lsh = Dedup.defs("d_embed_lsh")(spark, sfDir).collect().toSet
