@@ -99,19 +99,68 @@ object Similarity {
         .sortBy(_._1)
     }
     val cellOf = assign(cents).select(col("vec_id"), col("cell"))
+    // scan ONLY the probed cells (join on cell prunes the corpus)
+    probeAndScore(all, centDf(cents), cellOf, k, nprobe)
+  }
 
+  /** Persisted-index lifecycle (what a 10^12-row deployment actually
+    * runs): `buildIndex` trains the codebook and writes the index —
+    * `centroids` (tiny) + `cells` (vec_id → cell, the partition-pruned
+    * scan key) — as parquet; `queryIndex` answers top-k probes from the
+    * stored index with NO k-means work (index rows reused, not rebuilt —
+    * same lifecycle split as d_incremental's LSH index).
+    */
+  def buildIndex(s: SparkSession, dir: String, indexDir: String,
+                 cells: Int = 8, iters: Int = 3): Unit = {
+    import s.implicits._
+    val all = emb(s, dir).cache()
+    var cents: Seq[(Int, Seq[Double])] = all.orderBy(col("vec_id")).limit(cells)
+      .select(col("e")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    for (_ <- 1 to iters) {
+      cents = nearestCell(all, cents)
+        .select(col("cell"), col("e")).as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .agg(graft.functions.VecMeanAggregator.toColumn.name("ce"))
+        .collect().toSeq.sortBy(_._1)
+    }
+    cents.toDF("cell", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    nearestCell(all, cents).select(col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$indexDir/cells")
+    all.unpersist()
+  }
+
+  /** top-k cosine ANN from a stored index: probes the `nprobe` nearest
+    * cells only; the corpus join on `cell` prunes the scan. Zero k-means
+    * jobs at query time.
+    */
+  def queryIndex(s: SparkSession, dir: String, indexDir: String,
+                 k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val centDf = broadcast(cents.toDF("cell", "ce")
+      .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
+    val cellOf = s.read.parquet(s"$indexDir/cells")
+    probeAndScore(emb(s, dir), centDf, cellOf, k, nprobe)
+  }
+
+  /** probe the nprobe nearest cells per query vector, then exact-score
+    * only the corpus rows living in probed cells
+    */
+  private def probeAndScore(all: DataFrame, centDf: DataFrame,
+                            cellOf: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = all.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    // pick nprobe nearest cells per query
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
-    val probes = q.crossJoin(centDf(cents))
+    val probes = q.crossJoin(centDf)
       .withColumn("ccos",
         expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
           (col("qn") * col("cn")))
       .withColumn("prnk", row_number().over(wq))
       .where(col("prnk") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("cell"))
-    // scan ONLY the probed cells (join on cell prunes the corpus)
     val scored = all.join(cellOf, Seq("vec_id")).join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos_r", round(dotExpr / (col("qn") * col("nrm")), 3))

@@ -46,11 +46,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (|exact|=${exact.size}, hit=${(exact & ivf).size})")
   }
 
+  test("IVF persisted-index lifecycle: build once, query from the stored index") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.buildIndex(spark, sfDir, idx)
+    // index artifacts exist: tiny codebook + the vec_id→cell scan key
+    assert(spark.read.parquet(s"$idx/centroids").count() == 8)
+    assert(spark.read.parquet(s"$idx/cells").count() ==
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    // query-time recall from the STORED index (no k-means at query time)
+    val exact = Similarity.bruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.queryIndex(spark, sfDir, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"stored-index recall $recall < 0.8")
+    // deterministic: a second query run returns the identical result
+    val again = Similarity.queryIndex(spark, sfDir, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
   test("every SparkEntry query executes and returns rows (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n > 0, s"query $name returned 0 rows")
     }
+  }
+
+  test("approx_percentile within 2% of the exact interpolated percentile") {
+    // the sketch variant of q_percentiles — at 10^12 rows the exact
+    // sort-based percentile is replaced by this bounded-error call
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = df.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (e, a) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e <= 0.02, s"approx p50 $a vs exact $e")
   }
 
   test("approx_count_distinct within 5% of exact") {
