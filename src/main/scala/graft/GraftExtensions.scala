@@ -1,0 +1,23 @@
+package graft
+
+import graft.functions.ExtractContent
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-deployment registration route: with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` every session on
+  * the cluster — including pure-SQL users (thriftserver, notebooks) —
+  * gets `extract_content` without any per-session `register()` call.
+  * The injected builder is the SAME native Catalyst expression the
+  * programmatic path uses (`GraftFunctions.register` stays for embedded
+  * use on an existing session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("extract_content"),
+      new ExpressionInfo(classOf[ExtractContent].getName, "extract_content"),
+      (exprs: Seq[Expression]) => ExtractContent(exprs(0), exprs(1), exprs(2))))
+  }
+}
