@@ -33,7 +33,9 @@ object ExtractJob {
       outputDir: String,
       numPids: Int = 64,
       /** test hook: process only these pids (simulates a killed run) */
-      limitPids: Option[Set[Int]] = None)
+      limitPids: Option[Set[Int]] = None,
+      /** steal a stale writer lock left by a crashed run (idempotent-safe) */
+      takeover: Boolean = false)
 
   /** Content-addressed partition id — stable across runs and input
     * layouts; null-url rows (validation errors) go to pid 0.
@@ -60,6 +62,12 @@ object ExtractJob {
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: JobConfig): RunReport = {
     GraftFunctions.register(spark)
+    val lock = Lineage.acquireWriterLock(cfg.outputDir, cfg.takeover)
+    try runLocked(spark, pages, cfg)
+    finally Lineage.releaseWriterLock(lock)
+  }
+
+  private def runLocked(spark: SparkSession, pages: DataFrame, cfg: JobConfig): RunReport = {
     val listener = new GraftMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()

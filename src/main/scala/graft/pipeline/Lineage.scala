@@ -44,6 +44,34 @@ object Lineage {
 
   def committedPids(outputDir: String): Set[Int] = readManifest(outputDir)._2
 
+  /** Single-writer enforcement: the commit protocol (dynamic partition
+    * overwrite + manifest rename) is crash-safe but NOT multi-writer-safe
+    * — two concurrent jobs on one output dir could each union a stale
+    * committed-pid set and lose the other's pids. The lock file is
+    * created atomically (`Files.createFile` throws if present), so an
+    * accidental double-submit fails fast instead of corrupting lineage.
+    * A crashed run leaves the lock behind; `takeover = true` (CLI
+    * `--takeover true`) deletes it first — safe because every step of an
+    * interrupted run is idempotent (per-pid overwrite, snapshot-keyed
+    * lineage dirs, atomic manifest).
+    */
+  def acquireWriterLock(outputDir: String, takeover: Boolean): Path = {
+    val dir = Paths.get(outputDir, "_lineage")
+    Files.createDirectories(dir)
+    val lock = dir.resolve("writer.lock")
+    if (takeover) Files.deleteIfExists(lock)
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"another writer holds $lock (or a previous run crashed) — " +
+            "rerun with --takeover true to steal the lock")
+    }
+    lock
+  }
+
+  def releaseWriterLock(lock: Path): Unit = Files.deleteIfExists(lock)
+
   /** Write the snapshot's lineage rows and atomically publish the new
     * manifest. Rows go to a SNAPSHOT-KEYED subdirectory (`data/offset=N`,
     * overwrite): a crash between the data write and the manifest rename

@@ -50,7 +50,9 @@ object Main {
           Corpus.pagesAmplified(spark, sf, sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1").toInt)
         case _ => sys.error("one of --input or --from-documents is required")
       }
-      val report = ExtractJob.run(spark, pages, ExtractJob.JobConfig(output, numPids))
+      val takeover = opts.get("--takeover").exists(_.toBoolean)
+      val report = ExtractJob.run(spark, pages,
+        ExtractJob.JobConfig(output, numPids, takeover = takeover))
       // single JSON line, the service's structured-log analog
       println(report.toJson(Nil))
     } finally spark.stop()

@@ -88,6 +88,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Lineage.tableAt(spark, out, 2L).count() == 16)
   }
 
+  test("writer lock: concurrent second run fails fast; takeover steals a stale lock") {
+    val out = freshDir("lock")
+    val pages = Corpus.pages(spark, sfDir)
+    // simulate a concurrent (or crashed) writer holding the lock
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "_lineage"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_lineage", "writer.lock"))
+    val e = intercept[IllegalStateException] {
+      ExtractJob.run(spark, pages, JobConfig(out, numPids = 8))
+    }
+    assert(e.getMessage.contains("--takeover"))
+    // takeover steals the stale lock and runs; lock released afterwards
+    val r = ExtractJob.run(spark, pages, JobConfig(out, numPids = 8, takeover = true))
+    assert(r.pidsProcessed == 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_lineage", "writer.lock")))
+  }
+
   test("crash between lineage write and manifest rename: orphan snapshot invisible, retry clean") {
     import spark.implicits._
     val out = freshDir("orphan")
