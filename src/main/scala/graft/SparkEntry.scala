@@ -35,7 +35,8 @@ object SparkEntry {
         StreamingExtract.eventsWindowedWatermarked(s, dir, "st_windowed_wm_sink")),
       "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)),
       "st_session_window" -> ((s, dir) =>
-        StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")))
+        StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")),
+      "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -50,6 +51,10 @@ object SparkEntry {
       "st_sessions" -> Relational.oracles("q_events_sessions"),
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
+      // streaming dedup of the doubled input = the original table
+      "st_dedup" ->
+        """SELECT event_id, user_id, event_type
+          |FROM events ORDER BY event_id""".stripMargin,
       // session_window append mode: gaps-and-islands sessions (gap 30 min,
       // break at diff >= gap — Spark merges only when the next event
       // starts strictly before session end), emitted iff the session end

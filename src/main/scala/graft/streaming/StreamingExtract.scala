@@ -135,6 +135,39 @@ object StreamingExtract {
       .limit(500)
   }
 
+  /** Streaming deduplication with state: the input is staged TWICE (two
+    * files — duplicates may arrive within a batch or across batches), and
+    * dropDuplicates keyed on event_id with a watermark emits each event
+    * exactly once. The oracle is simply the original events table: dedup
+    * of the doubled stream must reproduce it.
+    */
+  def dedupStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(src, staged.resolve("copy_a.parquet"))
+    java.nio.file.Files.copy(src, staged.resolve("copy_b.parquet"))
+    val events = spark.readStream.schema(schema).parquet(staged.toString)
+    val out = events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = out.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy(col("event_id"))
+  }
+
   /** Event-time sessionization under a watermark — the UNBOUNDED
     * out-of-order production shape (bounded state, late events beyond the
     * watermark dropped): `session_window(ts, gap)` merges events closer
