@@ -19,11 +19,14 @@ object Bench {
     "q01_pricing_summary", "q03_topk_revenue", "q05_region_revenue",
     "q_window_topk", "q_rollup_revenue", "q_pivot_status", "q_semi_anti",
     "q_asof_signup", "q_events_sessions", "q_events_windowed",
+    "q_percentiles",
     "x_extract", "x_hosts_salted", "x_lineage", "x_json_route",
-    "d_exact_canonical", "d_minhash_lsh", "d_simhash", "d_simhash_pairs",
+    "d_exact_canonical", "d_minhash_lsh", "d_incremental",
+    "d_simhash", "d_simhash_pairs",
     "d_embed_lsh", "s_ann_bruteforce", "s_ann_ivf",
     "t_quality", "t_tokens", "t_fingerprint",
-    "t_winnow", "mm_image_meta", "mm_audio_energy")
+    "t_winnow", "c_split", "c_curate", "c_shard_stats",
+    "mm_image_meta", "mm_audio_energy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
