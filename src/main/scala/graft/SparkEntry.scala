@@ -36,7 +36,8 @@ object SparkEntry {
       "st_sessions" -> ((s, dir) => StreamingExtract.sessionCounts(s, dir)),
       "st_session_window" -> ((s, dir) =>
         StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")),
-      "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")))
+      "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")),
+      "st_enrich" -> ((s, dir) => StreamingExtract.enrichStream(s, dir, "st_enrich_sink")))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -51,6 +52,11 @@ object SparkEntry {
       "st_sessions" -> Relational.oracles("q_events_sessions"),
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
+      // stream-static enrichment = the plain batch join
+      "st_enrich" ->
+        """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |ORDER BY e.event_id""".stripMargin,
       // streaming dedup of the doubled input = the original table
       "st_dedup" ->
         """SELECT event_id, user_id, event_type

@@ -143,6 +143,43 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // CUBE: all 4 grouping combinations in one pass (rollup's superset)
+    "q_cube_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // RANGE window frame: per-customer running revenue over a VALUE range
+    // (orders in the preceding 30 days incl. current — a range frame is
+    // value-bounded, unlike the row-bounded frames elsewhere)
+    "q_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-30L, 0L)
+      t(s, dir, "orders")
+        .withColumn("day", datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("rev_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // rank-family windows: ntile quartiles + percent_rank over order value
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // pivot-style conditional aggregation (portable FILTER/CASE form)
     "q_pivot_status" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -322,6 +359,34 @@ object Relational {
         |  round(sum(l_extendedprice),2) AS rev, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice),2) AS rev, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_range_window" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+        |  round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_pivot_status" ->
       """SELECT o_orderpriority,

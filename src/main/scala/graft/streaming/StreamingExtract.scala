@@ -168,6 +168,35 @@ object StreamingExtract {
     spark.table(sinkName).orderBy(col("event_id"))
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * static dimension (broadcast — the dim ships to every task once; the
+    * stream never shuffles). The standard lookup-enrichment shape of a
+    * production pipeline; per-batch re-resolution of the static side is
+    * Spark's contract, so a dim refresh is picked up between batches.
+    */
+  def enrichStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val out = events.join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+    val q = out.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy(col("event_id"))
+  }
+
   /** Event-time sessionization under a watermark — the UNBOUNDED
     * out-of-order production shape (bounded state, late events beyond the
     * watermark dropped): `session_window(ts, gap)` merges events closer
