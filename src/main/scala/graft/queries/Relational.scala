@@ -215,7 +215,13 @@ object Relational {
           length(col("o_orderpriority")).as("prio_len"),
           concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
           md5(col("o_orderstatus")).as("status_md5"),
-          round(col("o_totalprice") * 0.1, 2).as("tithe"))
+          // decimal-exact on BOTH sides: round(double*0.1, 2) diverges
+          // between engines at .xx5 boundaries (Spark rounds the shortest
+          // decimal repr of the product, DuckDB rounds via float multiply).
+          // NB the SQL literal 0.1 is DECIMAL(1,1); a Scala 0.1 would be a
+          // Double and silently demote the whole expression to float math
+          expr("cast(round(cast(o_totalprice as decimal(18,4)) * 0.1, 2) as double)")
+            .as("tithe"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -403,7 +409,7 @@ object Relational {
         |  length(o_orderpriority) AS prio_len,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
         |  md5(o_orderstatus) AS status_md5,
-        |  round(o_totalprice*0.1,2) AS tithe
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4))*0.1, 2) AS DOUBLE) AS tithe
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q_percentiles" ->
