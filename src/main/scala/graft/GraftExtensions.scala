@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("extract_content"),
       new ExpressionInfo(classOf[ExtractContent].getName, "extract_content"),
-      (exprs: Seq[Expression]) => ExtractContent(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"extract_content requires exactly 3 arguments (url, html, lang), got ${exprs.length}")
+        ExtractContent(exprs(0), exprs(1), exprs(2))
+      }))
   }
 }

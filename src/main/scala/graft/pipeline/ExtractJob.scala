@@ -116,7 +116,11 @@ object ExtractJob {
     // from the written parquet alone and verify lineage integrity
     // without running this engine (same construction as x_lineage /
     // DigestAggregator)
-    val rec = concat(col("url"), lit(":"),
+    // every column coalesced: null-url rows are a supported input class
+    // (validation errors route to pid 0) — without the coalesce, concat
+    // is NULL, the row silently drops out of the digest, and an all-null
+    // pid group turns sum() NULL → NPE at the collect
+    val rec = concat(coalesce(col("url"), lit("~")), lit(":"),
       coalesce(col("extracted_text"), lit("~")), lit(":"),
       coalesce(col("error"), lit("~")))
     val agg = written.groupBy(col("pid")).agg(

@@ -60,17 +60,35 @@ object Lineage {
     Files.createDirectories(dir)
     val lock = dir.resolve("writer.lock")
     if (takeover) Files.deleteIfExists(lock)
-    try Files.createFile(lock)
+    // owner token written into the lock: release only deletes OUR lock,
+    // so a takeover that races a still-live writer cannot be followed by
+    // that writer's finally-block freeing the new owner's lock. (The
+    // takeover-against-a-live-writer hazard itself is inherent to
+    // advisory file locks — takeover is for verified-dead runs.)
+    val token = s"${java.util.UUID.randomUUID()} pid=${ProcessHandle.current().pid()} " +
+      s"acquired=${java.time.Instant.now()}"
+    try Files.write(lock, token.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = try new String(Files.readAllBytes(lock), "UTF-8") catch { case _: Exception => "?" }
         throw new IllegalStateException(
-          s"another writer holds $lock (or a previous run crashed) — " +
+          s"another writer holds $lock [$holder] (or a previous run crashed) — " +
             "rerun with --takeover true to steal the lock")
     }
+    lockTokens.put(lock, token)
     lock
   }
 
-  def releaseWriterLock(lock: Path): Unit = Files.deleteIfExists(lock)
+  private val lockTokens = new java.util.concurrent.ConcurrentHashMap[Path, String]()
+
+  def releaseWriterLock(lock: Path): Unit = {
+    val token = lockTokens.remove(lock)
+    val mine = token != null && Files.exists(lock) &&
+      (try new String(Files.readAllBytes(lock), "UTF-8") == token
+       catch { case _: Exception => false })
+    if (mine) Files.deleteIfExists(lock)
+  }
 
   /** Write the snapshot's lineage rows and atomically publish the new
     * manifest. Rows go to a SNAPSHOT-KEYED subdirectory (`data/offset=N`,
@@ -80,6 +98,24 @@ object Lineage {
     * overwrites in place, so no duplicate rows can ever accumulate.
     */
   def commit(spark: SparkSession, outputDir: String, lineage: DataFrame): Unit = {
+    // guard against the pre-snapshot layout (flat parquet with an offset
+    // COLUMN directly under data/): mixing it with offset=N partition
+    // dirs breaks Spark's partition discovery at read time — fail the
+    // commit with a clear message instead
+    val dataDir = Paths.get(outputDir, "_lineage", "data")
+    if (Files.isDirectory(dataDir)) {
+      val legacy = Files.list(dataDir)
+      try {
+        val it = legacy.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+            throw new IllegalStateException(
+              s"legacy flat lineage layout detected at $dataDir ($p); " +
+                "move existing files into data/offset=<n>/ subdirectories before resuming")
+        }
+      } finally legacy.close()
+    }
     val (snap, already) = readManifest(outputDir)
     val newSnap = snap + 1
     val stamped = lineage.select("partition_id", "rows", "bytes", "digest")

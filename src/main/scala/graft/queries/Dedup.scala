@@ -116,9 +116,8 @@ object Dedup {
   // (cos ≤ .51 ⇒ flip ≥ 1/3) P(band match) ≤ (2/3)^16 ≈ 1.5e-3, so the
   // candidate set stays ~1e-2 of the pair space. Deterministic Rademacher
   // planes (splitmix64 of (plane,dim)) — no runtime randomness.
-  private val EPlanes = 128
   private val EBands = 8
-  private val EBitsPerBand = 16
+  private val EBitsPerBand = 16 // total planes = EBands * EBitsPerBand = 128
 
   @inline private def planePositive(p: Int, d: Int): Boolean = {
     var z = (p.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
@@ -237,7 +236,10 @@ object Dedup {
     // true near-dups here; the margin is data-dependent.
     "d_simhash_pairs" -> ((s, dir) => {
       // cache the fingerprint table: both sides of the self-join read it,
-      // and at scale it IS the persisted index (16 bytes/doc)
+      // and at scale it IS the persisted index (16 bytes/doc). Session-
+      // lifetime cache is deliberate — recompute would re-run the full
+      // token aggregation per join side; at 10^12 rows this table is a
+      // written artifact, not a cache
       val sim = simhash(s, dir).cache()
       val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
@@ -279,7 +281,12 @@ object Dedup {
     // exact cosine verifies them. Output identical to d_embed_dups —
     // the shared oracle proves recall.
     "d_embed_lsh" -> ((s, dir) => {
-      val corpus = embedCorpus(s, dir).cache()
+      // deliberately NOT cached: the corpus is a cheap shuffle-free
+      // projection of the parquet scan; recomputing it for the signature
+      // pass and the two verify sides beats holding session-lifetime
+      // cache (query functions return lazily, so an unpersist-after-
+      // action is not expressible here)
+      val corpus = embedCorpus(s, dir)
       val sig = hyperplaneBands(s, corpus)
       val a = sig.select(col("band"), col("bh"), col("vec_id").as("a_id"))
       val b = sig.select(col("band"), col("bh"), col("vec_id").as("b_id"))

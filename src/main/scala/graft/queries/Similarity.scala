@@ -75,32 +75,34 @@ object Similarity {
           cells: Int = 8, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).cache()
+    val cents = train(s, all, cells, iters)
+    val centDf = broadcast(cents.toDF("cell", "ce")
+      .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
+    val cellOf = nearestCell(all, cents).select(col("vec_id"), col("cell"))
+    // scan ONLY the probed cells (join on cell prunes the corpus)
+    probeAndScore(all, centDf, cellOf, k, nprobe)
+  }
 
-    def centDf(cents: Seq[(Int, Seq[Double])]) =
-      broadcast(cents.toDF("cell", "ce")
-        .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
-
-    def assign(cents: Seq[(Int, Seq[Double])]) = nearestCell(all, cents)
-
-    // init: the `cells` lowest vec_ids as seed centroids
+  /** Lloyd training shared by ivf() and buildIndex(): deterministic
+    * lowest-vec_id seeds; each round = map-side nearest-cell assignment
+    * (zero shuffles) + centroid recompute via the typed vector-mean
+    * aggregator — one (sum-vector, count) partial per (partition, cell)
+    * crosses the wire, instead of posexploding n×dim rows.
+    */
+  private def train(s: SparkSession, all: DataFrame,
+                    cells: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
     var cents: Seq[(Int, Seq[Double])] = all.orderBy(col("vec_id")).limit(cells)
       .select(col("e")).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      // centroid recompute: typed vector-mean aggregator — one
-      // (sum-vector, count) partial per (partition, cell) crosses the
-      // wire, instead of posexploding n×dim rows through two shuffles
-      cents = assign(cents)
+      cents = nearestCell(all, cents)
         .select(col("cell"), col("e")).as[(Int, Seq[Double])]
         .groupByKey(_._1)
         .agg(graft.functions.VecMeanAggregator.toColumn.name("ce"))
-        .collect().toSeq
-        .map { case (c, ce) => (c, ce) }
-        .sortBy(_._1)
+        .collect().toSeq.sortBy(_._1)
     }
-    val cellOf = assign(cents).select(col("vec_id"), col("cell"))
-    // scan ONLY the probed cells (join on cell prunes the corpus)
-    probeAndScore(all, centDf(cents), cellOf, k, nprobe)
+    cents
   }
 
   /** Persisted-index lifecycle (what a 10^12-row deployment actually
@@ -114,16 +116,7 @@ object Similarity {
                  cells: Int = 8, iters: Int = 3): Unit = {
     import s.implicits._
     val all = emb(s, dir).cache()
-    var cents: Seq[(Int, Seq[Double])] = all.orderBy(col("vec_id")).limit(cells)
-      .select(col("e")).collect().toSeq
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
-    for (_ <- 1 to iters) {
-      cents = nearestCell(all, cents)
-        .select(col("cell"), col("e")).as[(Int, Seq[Double])]
-        .groupByKey(_._1)
-        .agg(graft.functions.VecMeanAggregator.toColumn.name("ce"))
-        .collect().toSeq.sortBy(_._1)
-    }
+    val cents = train(s, all, cells, iters)
     cents.toDF("cell", "ce").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     nearestCell(all, cents).select(col("vec_id"), col("cell"))

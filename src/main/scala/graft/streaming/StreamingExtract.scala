@@ -149,10 +149,24 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
+    // stage every data file of the (file- or directory-shaped) source
+    // TWICE under distinct names — same tolerance as stageDir, which a
+    // raw Files.copy of a directory would silently break (empty copies)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val staged = java.nio.file.Files.createTempDirectory("graft-stream-dup")
-    java.nio.file.Files.copy(src, staged.resolve("copy_a.parquet"))
-    java.nio.file.Files.copy(src, staged.resolve("copy_b.parquet"))
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s0 = java.nio.file.Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toList
+        } finally s0.close()
+      } else Seq(src)
+    parts.foreach { p =>
+      java.nio.file.Files.copy(p, staged.resolve(s"copy_a_${p.getFileName}"))
+      java.nio.file.Files.copy(p, staged.resolve(s"copy_b_${p.getFileName}"))
+    }
     val events = spark.readStream.schema(schema).parquet(staged.toString)
     val out = events
       .withWatermark("ts", "10 minutes")
@@ -259,8 +273,9 @@ object StreamingExtract {
       StructField("props", StringType)))
     val staged = stageDir(s"$dir/events.parquet")
     // enforce the single-batch assumption the in-batch sort relies on
-    val nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+    val nFiles = try listing.filter(p => p.toString.endsWith(".parquet")).count()
+                 finally listing.close()
     require(nFiles == 1,
       s"sessionCounts needs a single input file (one AvailableNow batch), found $nFiles in $staged")
     val events = spark.readStream.schema(schema).parquet(staged)

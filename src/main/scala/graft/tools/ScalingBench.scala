@@ -62,10 +62,14 @@ object ScalingBench {
         f" eff(4→16)=$e416%.3f eff(8→32)=$e832%.3f")
       (times, e416, e832)
     }
-    val med416 = results.map(_._2).sorted.apply(results.size / 2)
-    val med832 = results.map(_._3).sorted.apply(results.size / 2)
+    // NaN-safe: a custom levels list may omit a pair — report n/a rather
+    // than letting NaN sort into the median
+    def med(xs: Seq[Double]): String = {
+      val v = xs.filterNot(_.isNaN)
+      if (v.isEmpty) "n/a" else f"${v.sorted.apply(v.size / 2)}%.3f"
+    }
     def medT(n: Int) = results.map(_._1(n)).sorted.apply(results.size / 2)
     println(f"[paired-median] " + levels.map(n => f"t$n=${medT(n)}%.2fs").mkString(" ") +
-      f" eff(4→16)=$med416%.3f eff(8→32)=$med832%.3f")
+      s" eff(4→16)=${med(results.map(_._2))} eff(8→32)=${med(results.map(_._3))}")
   }
 }

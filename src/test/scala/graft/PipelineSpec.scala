@@ -88,6 +88,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Lineage.tableAt(spark, out, 2L).count() == 16)
   }
 
+  test("null-url rows are digest-covered and never NPE the lineage agg") {
+    import spark.implicits._
+    val out = freshDir("nullurl")
+    val ts = new java.sql.Timestamp(0L)
+    val body = graft.fixtures.PageHtml.build(2L, Seq.fill(30)("w").mkString(" "), "en")
+    val pages = Seq(
+      (1L, null.asInstanceOf[String], ts, "<p>x</p>".getBytes("UTF-8"), "t", "en"),
+      (2L, "https://x/2", ts, body.getBytes("UTF-8"), "t", "en"))
+      .toDF("doc_id", "url", "warc_ts", "html", "text", "lang")
+    val r = ExtractJob.run(spark, pages, JobConfig(out, numPids = 2))
+    assert(r.failedValidation == 1 && r.docsTotal == 2)
+    // the null-url row lands in pid 0 and its digest row is non-null
+    val lin = Lineage.table(spark, out).where(col("partition_id") === 0)
+    assert(lin.count() == 1 && lin.select("digest").head.getString(0) != null)
+  }
+
   test("writer lock: concurrent second run fails fast; takeover steals a stale lock") {
     val out = freshDir("lock")
     val pages = Corpus.pages(spark, sfDir)
