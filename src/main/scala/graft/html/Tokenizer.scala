@@ -216,33 +216,40 @@ object Tokenizer {
     def flushText(until: Int): Unit =
       if (until > textStart) h.onText(s.substring(textStart, until))
 
+    // jump between '<' markers with the intrinsified (SIMD) indexOf —
+    // text runs between tags are the bulk of a page, and a per-char state
+    // loop pays ~10× more per byte than the vectorized scan. Semantics
+    // are identical to the per-char walk: only a '<' followed by a name
+    // start, '/', '!' or '?' opens markup; any other '<' is literal text.
     while (i < n) {
-      val c = s.charAt(i)
-      if (c == '<' && i + 1 < n) {
-        val d = s.charAt(i + 1)
+      val lt = s.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) {
+        i = n // no further markup; the tail (incl. a trailing '<') is text
+      } else {
+        val d = s.charAt(lt + 1)
         if (isNameStart(d)) {
-          flushText(i)
-          i = parseStartTag(s, i, h)
+          flushText(lt)
+          i = parseStartTag(s, lt, h)
           textStart = i
         } else if (d == '/') {
-          flushText(i)
-          val (nm, jj) = parseEndTag(s, i)
+          flushText(lt)
+          val (nm, jj) = parseEndTag(s, lt)
           if (nm.nonEmpty) h.onEndTag(nm)
           i = jj
           textStart = i
         } else if (d == '!') {
-          flushText(i)
-          i = skipDeclaration(s, i)
+          flushText(lt)
+          i = skipDeclaration(s, lt)
           textStart = i
         } else if (d == '?') {
-          flushText(i)
-          val gt = s.indexOf('>', i + 1)
+          flushText(lt)
+          val gt = s.indexOf('>', lt + 1)
           i = if (gt < 0) n else gt + 1
           textStart = i
         } else {
-          i += 1 // stray '<' is literal text
+          i = lt + 1 // stray '<' is literal text
         }
-      } else i += 1
+      }
     }
     flushText(n)
   }
