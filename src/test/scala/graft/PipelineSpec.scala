@@ -88,6 +88,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Lineage.tableAt(spark, out, 2L).count() == 16)
   }
 
+  test("shard export: partitioned layout matches the c_shard_stats manifest, pruned reads") {
+    val out = freshDir("shards")
+    val (n, parts) = pipeline.ShardExport.run(spark, sfDir, out)
+    // written content must agree with the oracle-checked manifest query
+    val stats = graft.queries.Curation.defs("c_shard_stats")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(n == stats.values.sum && parts == stats.size)
+    // shard comes back as the partition-discovery integer type
+    val readBack = pipeline.ShardExport.shards(spark, out)
+      .groupBy(col("split"), col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(readBack == stats, s"shard layout mismatch: $readBack vs $stats")
+    // a single-shard read is partition-pruned to one directory
+    val one = pipeline.ShardExport.shards(spark, out)
+      .where(col("split") === "train" && col("shard") === 0)
+    val scan = one.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "training-shard read must prune to exactly one partition")
+  }
+
   test("null-url rows are digest-covered and never NPE the lineage agg") {
     import spark.implicits._
     val out = freshDir("nullurl")
