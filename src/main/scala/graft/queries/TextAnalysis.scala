@@ -98,6 +98,43 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("fingerprint"))
     }),
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    // published corpus-filter heuristics): top-word fraction, duplicated-
+    // word mass, top-2-gram fraction. Computed per doc in a typed map —
+    // zero shuffles, and all outputs are INTEGER counts (numerator/
+    // denominator pairs) so no float rounding can diverge cross-engine;
+    // the filter threshold itself is the consumer's choice.
+    "t_repetition" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(' ')
+          val n = ws.length
+          val wc = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < n) { wc.merge(ws(i), 1, Integer.sum); i += 1 }
+          var topW = 0
+          var dupMass = 0
+          val it = wc.values().iterator()
+          while (it.hasNext) {
+            val c = it.next()
+            if (c > topW) topW = c
+            if (c > 1) dupMass += c
+          }
+          val gc = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < n - 1) { gc.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum); i += 1 }
+          var topG = 0
+          val git = gc.values().iterator()
+          while (git.hasNext) { val c = git.next(); if (c > topG) topG = c }
+          (id, n.toLong, topW.toLong, dupMass.toLong,
+            math.max(n - 1, 0).toLong, topG.toLong)
+        }
+        .toDF("doc_id", "n_words", "top_word_cnt", "dup_word_mass",
+          "n_2grams", "top_2gram_cnt")
+        .orderBy(col("doc_id"))
+    }),
+
     // document fingerprinting: md5 digest + numeric 60-bit fp
     "t_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -164,6 +201,35 @@ object TextAnalysis {
         |  FROM sh)
         |SELECT DISTINCT doc_id, fingerprint FROM wm
         |ORDER BY doc_id, fingerprint""".stripMargin,
+    "t_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(ws) AS tok FROM toks),
+        |wc AS (SELECT doc_id, tok, count(*) c FROM w GROUP BY 1,2),
+        |wstats AS (
+        |  SELECT doc_id, max(c) AS top_word_cnt,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_word_mass
+        |  FROM wc GROUP BY 1),
+        |gi AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i FROM toks),
+        |gc AS (
+        |  SELECT doc_id, ws[i]||' '||ws[i+1] AS g, count(*) c
+        |  FROM gi GROUP BY 1,2),
+        |gstats AS (SELECT doc_id, max(c) AS top_2gram_cnt FROM gc GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    greatest(len(ws)-1, 0) AS n_2grams
+        |  FROM toks)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |  CAST(w.top_word_cnt AS BIGINT) AS top_word_cnt,
+        |  w.dup_word_mass,
+        |  CAST(b.n_2grams AS BIGINT) AS n_2grams,
+        |  CAST(coalesce(g.top_2gram_cnt, 0) AS BIGINT) AS top_2gram_cnt
+        |FROM base b
+        |JOIN wstats w ON b.doc_id = w.doc_id
+        |LEFT JOIN gstats g ON b.doc_id = g.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp60
