@@ -202,7 +202,10 @@ object Dedup {
     // bands probe the index: candidates = B×(A ∪ B) band-equality join —
     // the join is proportional to the NEW batch, never O(corpus²), and A
     // internal pairs are never re-examined. Output = all near-dup pairs
-    // touching B (same jaccard >= 0.8 contract).
+    // touching B (same jaccard >= 0.8 contract). At scale, A's shingle
+    // sets for the exact-verify step also come from stored artifacts
+    // (written alongside the band index); here both sides derive from
+    // one `sh` because the whole corpus is the test fixture.
     "d_incremental" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
       val bands = minhashBands(s, sh)
