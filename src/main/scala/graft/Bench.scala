@@ -31,7 +31,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "8").toInt
+    // default 64× (≈320k pages / 310 MB at sf0.1): large enough that the
+    // throughput sample is not dominated by job-setup noise (±50% at 8×),
+    // small enough to stage in well under a minute (staged once, cached)
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "64").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
