@@ -36,9 +36,12 @@ object Dedup {
         a.join(b, Seq("shingle")).where(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c"))
       case Some(cd) =>
-        // the candidate set is tiny (near-dup pairs + band collisions):
-        // broadcast it so the shingle table is never shuffled here
-        broadcast(cd)
+        // NO broadcast hint: at crawl-scale dup rates (30-50% of 10^12
+        // docs) the candidate-pair set is billions of rows — a forced
+        // broadcast dies at the driver. Plain equi-joins on a_id/b_id let
+        // AQE choose broadcast when the runtime size is actually under
+        // the threshold, and degrade to a shuffle join when it is not.
+        cd
           .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "sa"), Seq("a_id"))
           .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "sb"), Seq("b_id"))
           .where(col("sa") === col("sb"))
@@ -96,11 +99,13 @@ object Dedup {
       .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
   }
 
-  /** exact cosine over a candidate-pair universe; cands must carry
-    * (a_id, b_id) with a_id < b_id and is broadcast (tiny after LSH)
+  /** exact cosine over a candidate-pair universe; cands carry (a_id, b_id)
+    * with a_id < b_id. No broadcast hint — the candidate set scales with
+    * the dup rate (billions of rows at 10^12 corpus size), so the verify
+    * runs as plain equi-joins; AQE broadcasts only when actually small.
     */
   private def cosineVerified(corpus: DataFrame, cands: DataFrame): DataFrame =
-    broadcast(cands)
+    cands
       .join(corpus.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), Seq("a_id"))
       .join(corpus.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), Seq("b_id"))
       .withColumn("cos_r", round(
@@ -159,6 +164,53 @@ object Dedup {
       .toDF("vec_id", "band", "bh")
   }
 
+  /** Persisted LSH band-index lifecycle (the continuous-crawl contract,
+    * mirroring Similarity.buildIndex/queryIndex): `buildBandIndex` writes
+    * the index as parquet —
+    *   bands/    (doc_id, band, bh)   the probe join key (~Bands rows/doc)
+    *   shingles/ (doc_id, shingle)    the exact-verify sets
+    * `probeBandIndex` answers "which stored or in-batch docs near-dup the
+    * new batch" with work proportional to the NEW batch (band-equality
+    * join against the stored rows — never O(corpus²), no re-hash of the
+    * indexed corpus), and `appendBandIndex` grows the artifact so the next
+    * batch probes against this one too.
+    */
+  def buildBandIndex(s: SparkSession, documents: DataFrame, indexDir: String): Unit = {
+    val sh = shingles(documents).cache()
+    minhashBands(s, sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    sh.unpersist()
+  }
+
+  def appendBandIndex(s: SparkSession, documents: DataFrame, indexDir: String): Unit = {
+    val sh = shingles(documents).cache()
+    minhashBands(s, sh).write.mode("append").parquet(s"$indexDir/bands")
+    sh.write.mode("append").parquet(s"$indexDir/shingles")
+    sh.unpersist()
+  }
+
+  /** All jaccard>=0.8 near-dup pairs touching `newDocs`, probing the
+    * STORED index: candidates = newBands × (storedBands ∪ newBands) band
+    * join; exact verify joins the stored shingle table ∪ the new batch's
+    * shingles (both shuffle equi-joins — AQE broadcasts only when small).
+    * `newDocs` must be disjoint from the indexed corpus (probe BEFORE
+    * appendBandIndex) — overlap would double-count shingles in the verify.
+    */
+  def probeBandIndex(s: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
+    val shNew = shingles(newDocs)
+    val bNew = minhashBands(s, shNew)
+    val stored = s.read.parquet(s"$indexDir/bands")
+    val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
+      .join(stored.union(bNew).select(col("band"), col("bh"), col("doc_id").as("y_id")),
+        Seq("band", "bh"))
+      .where(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val shAll = s.read.parquet(s"$indexDir/shingles").union(shNew)
+    verifiedPairs(shAll, Some(cands))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: canonical id per identical-text group. Keyed on
@@ -196,29 +248,19 @@ object Dedup {
       verifiedPairs(sh, Some(cands))
     }),
 
-    // INCREMENTAL dedup — the continuous-crawl shape: an already-indexed
-    // corpus A (even doc_ids; in production the PERSISTED band-index
-    // table, read not rebuilt) and a new batch B (odd doc_ids). Only B's
-    // bands probe the index: candidates = B×(A ∪ B) band-equality join —
-    // the join is proportional to the NEW batch, never O(corpus²), and A
-    // internal pairs are never re-examined. Output = all near-dup pairs
-    // touching B (same jaccard >= 0.8 contract). At scale, A's shingle
-    // sets for the exact-verify step also come from stored artifacts
-    // (written alongside the band index); here both sides derive from
-    // one `sh` because the whole corpus is the test fixture.
+    // INCREMENTAL dedup — the continuous-crawl shape, run through the
+    // REAL persisted-index lifecycle: the already-crawled corpus A (even
+    // doc_ids) is indexed to parquet (bands + shingle sets) by
+    // buildBandIndex, then the new batch B (odd doc_ids) probes the
+    // STORED artifact — candidates = B×(A ∪ B) band-equality join, work
+    // proportional to the NEW batch, never O(corpus²); A-internal pairs
+    // are never re-examined. Output = all near-dup pairs touching B
+    // (same jaccard >= 0.8 contract as d_jaccard_pairs).
     "d_incremental" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
-      val bands = minhashBands(s, sh)
-      val idxA = bands.where(col("doc_id") % 2 === 0) // persisted-index stand-in
-      val bNew = bands.where(col("doc_id") % 2 === 1)
-      val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
-        .join(idxA.union(bNew).select(col("band"), col("bh"), col("doc_id").as("y_id")),
-          Seq("band", "bh"))
-        .where(col("x_id") =!= col("y_id"))
-        .select(least(col("x_id"), col("y_id")).as("a_id"),
-          greatest(col("x_id"), col("y_id")).as("b_id"))
-        .distinct()
-      verifiedPairs(sh, Some(cands))
+      val d = docs(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+      buildBandIndex(s, d.where(col("doc_id") % 2 === 0), idxDir)
+      probeBandIndex(s, d.where(col("doc_id") % 2 === 1), idxDir)
     }),
 
     // SimHash (60-bit, md5-based token hashes, frequency-weighted) — the

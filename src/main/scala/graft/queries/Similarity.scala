@@ -48,6 +48,27 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("e"))
   }
 
+  /** Final top-k ranking via the bounded TopKAggregator: every map
+    * partition pre-reduces to at most k rows per qid (partial typed
+    * aggregation), so the per-qid reducer receives k·partitions rows
+    * instead of every scored corpus row. The Window.partitionBy(qid) +
+    * row_number form it replaces lands ALL candidates of one query on one
+    * reducer — the per-query bottleneck at 10^12 corpus rows.
+    */
+  private def topK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    scored.select(col("qid"), col("vec_id"), col("cos_r"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "t")
+      .select(col("qid"), (col("pos") + 1).as("rnk"),
+        col("t._1").as("nid"), col("t._2").as("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** top-k cosine neighbors for each query vector (vec_id < 10) */
   def bruteforce(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val all = emb(s, dir)
@@ -57,11 +78,7 @@ object Similarity {
     // shuffle of the corpus — this is the shape that survives 100 TB)
     val scored = all.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos_r", round(dotExpr / (col("qn") * col("nrm")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos_r"))
-      .orderBy(col("qid"), col("rnk"))
+    topK(s, scored, k)
   }
 
   /** IVF-style ANN: a k-means-lite codebook (deterministic init = lowest
@@ -76,6 +93,10 @@ object Similarity {
     import s.implicits._
     val all = emb(s, dir).cache()
     val cents = train(s, all, cells, iters)
+    // train's last collect was the final action through the cache —
+    // release it here; the remaining (lazy) probe plan recomputes the
+    // cheap scan projection instead of pinning executor memory
+    all.unpersist()
     val centDf = broadcast(cents.toDF("cell", "ce")
       .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
     val cellOf = nearestCell(all, cents).select(col("vec_id"), col("cell"))
@@ -146,6 +167,9 @@ object Similarity {
                             cellOf: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = all.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // probe ranking: per-qid rows here = #cells (index METADATA, tiny by
+    // construction — the codebook is a broadcast literal), so a window is
+    // safe; the corpus-sized ranking below uses the bounded aggregator
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(centDf)
       .withColumn("ccos",
@@ -157,11 +181,7 @@ object Similarity {
     val scored = all.join(cellOf, Seq("vec_id")).join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos_r", round(dotExpr / (col("qn") * col("nrm")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos_r"))
-      .orderBy(col("qid"), col("rnk"))
+    topK(all.sparkSession, scored, k)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

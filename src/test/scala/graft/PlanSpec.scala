@@ -91,6 +91,39 @@ class PlanSpec extends AnyFunSuite {
       s"dedup agg must have a map-side partial phase:\n$plan")
   }
 
+  test("dedup exact-verify survives broadcast being impossible (shuffle equi-join)") {
+    // force every broadcast path off: if the candidate-verify join still
+    // carried a broadcast HINT it would broadcast regardless and this
+    // plan would contain a BroadcastHashJoin; with plain equi-joins the
+    // verify degrades to shuffle joins — the 10^12-candidate-rows shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.Dedup.defs("d_minhash_lsh")(spark, sfDir)
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"verify join must not rely on a broadcast hint:\n$plan")
+      // and the result is unchanged vs the exact baseline (same oracle)
+      val exact = graft.queries.Dedup.defs("d_jaccard_pairs")(spark, sfDir).collect()
+      assert(rows.map(_.toString).toSet == exact.map(_.toString).toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("similarity top-k ranks via bounded partial aggregation, not a window") {
+    val q = graft.queries.Similarity.bruteforce(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"),
+      s"final ranking must not funnel all candidates through a per-qid window:\n$plan")
+    val pl = plan.toLowerCase
+    assert(pl.contains("topkaggregator") && pl.contains("partial_"),
+      s"expected a map-side partial top-k aggregation phase:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
     graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)

@@ -66,6 +66,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("LSH band-index lifecycle: build, probe the stored artifact, append, probe again") {
+    import org.apache.spark.sql.functions.col
+    // the continuous-crawl loop over three batches: index b0, probe b1,
+    // append b1, probe b2 — each probe batch is disjoint from the index
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-idx").toString
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def batch(i: Int) = d.where(col("doc_id") % 3 === i)
+    Dedup.buildBandIndex(spark, batch(0), idx)
+    // index artifacts exist: band rows (16/doc) + the exact-verify shingle sets
+    val n0 = batch(0).count()
+    assert(spark.read.parquet(s"$idx/bands").count() == n0 * 16)
+    assert(spark.read.parquet(s"$idx/shingles").select("doc_id").distinct().count() == n0)
+    val full = Dedup.defs("d_jaccard_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe 1: all near-dup pairs touching b1, within b0 ∪ b1
+    val probed1 = Dedup.probeBandIndex(spark, batch(1), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed1 == full.filter { case (a, b) =>
+      a % 3 <= 1 && b % 3 <= 1 && (a % 3 == 1 || b % 3 == 1) })
+    // append b1, then probe 2 covers pairs touching b2 across the corpus
+    Dedup.appendBandIndex(spark, batch(1), idx)
+    assert(spark.read.parquet(s"$idx/bands").count() == (n0 + batch(1).count()) * 16)
+    val probed2 = Dedup.probeBandIndex(spark, batch(2), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed2 == full.filter { case (a, b) => a % 3 == 2 || b % 3 == 2 })
+  }
+
   test("every SparkEntry query executes and returns rows (sf0.001)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
