@@ -71,7 +71,10 @@ object Spans {
           val body = java.util.Arrays.copyOfRange(html, b64Start, end)
           val decoded =
             try java.util.Base64.getDecoder.decode(body)
-            catch { case e: IllegalArgumentException => throw PayloadException(s"bad base64 at $b64Start: ${e.getMessage}") }
+            catch {
+              case e: IllegalArgumentException =>
+                throw PayloadException(s"bad base64 at $b64Start: ${e.getMessage}")
+            }
           val magic = if (kind == "pdf") MagicPdf else MagicLay
           if (!startsWith(decoded, magic)) throw PayloadException(s"missing $kind magic at $b64Start")
           val text = new String(decoded, magic.length, decoded.length - magic.length, "UTF-8")

@@ -54,7 +54,9 @@ object Tokenizer {
       var i = idx + "charset".length
       while (i < head.length && (head(i) == ' ' || head(i) == '=' || head(i) == '"' || head(i) == '\'')) i += 1
       val sb = new StringBuilder
-      while (i < head.length && (head(i).isLetterOrDigit || head(i) == '-' || head(i) == '_')) { sb.append(head(i)); i += 1 }
+      while (i < head.length && (head(i).isLetterOrDigit || head(i) == '-' || head(i) == '_')) {
+        sb.append(head(i)); i += 1
+      }
       val name = sb.result()
       if (name.nonEmpty) {
         try { if (Charset.isSupported(name)) return Charset.forName(name) }
@@ -122,12 +124,14 @@ object Tokenizer {
             if (name.startsWith("#x") || name.startsWith("#X")) {
               try {
                 val cp = Integer.parseInt(name.substring(2), 16)
-                if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+                if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp))
+                  new String(Character.toChars(cp)) else null
               } catch { case _: Exception => null }
             } else if (name.startsWith("#")) {
               try {
                 val cp = Integer.parseInt(name.substring(1))
-                if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+                if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp))
+                  new String(Character.toChars(cp)) else null
               } catch { case _: Exception => null }
             } else name match {
               case "amp"   => "&"

@@ -54,6 +54,24 @@ object ExtractJob {
   def docs(spark: SparkSession, outputDir: String): DataFrame =
     spark.read.schema(docsSchema).parquet(s"$outputDir/docs")
 
+  /** Unambiguous digest record encoding: every field is either `n`
+    * (NULL) or `v<charlen>:<value>` — length-prefixed, so no separator
+    * or sentinel can collide with data and distinct field triples always
+    * serialize distinctly (a plain `a:b:c` join is ambiguous when values
+    * contain the separator, and a `~` null sentinel is a legal value).
+    * NULL handled explicitly: null-url rows are a supported input class
+    * (validation errors route to pid 0) — encoded, never dropped, so an
+    * all-null pid group cannot turn the digest sum NULL. The same
+    * formula is plain SQL in any engine (audit recipe in
+    * .claude/skills/verify/SKILL.md).
+    */
+  def encField(c: Column): Column =
+    when(c.isNull, lit("n"))
+      .otherwise(concat(lit("v"), length(c).cast("string"), lit(":"), c))
+
+  def digestRecord(url: Column, text: Column, error: Column): Column =
+    concat(encField(url), encField(text), encField(error))
+
   def errors(spark: SparkSession, outputDir: String): DataFrame =
     docs(spark, outputDir).where(col("error").isNotNull).select(col("url"), col("error").as("reason"), col("pid"))
 
@@ -116,13 +134,7 @@ object ExtractJob {
     // from the written parquet alone and verify lineage integrity
     // without running this engine (same construction as x_lineage /
     // DigestAggregator)
-    // every column coalesced: null-url rows are a supported input class
-    // (validation errors route to pid 0) — without the coalesce, concat
-    // is NULL, the row silently drops out of the digest, and an all-null
-    // pid group turns sum() NULL → NPE at the collect
-    val rec = concat(coalesce(col("url"), lit("~")), lit(":"),
-      coalesce(col("extracted_text"), lit("~")), lit(":"),
-      coalesce(col("error"), lit("~")))
+    val rec = digestRecord(col("url"), col("extracted_text"), col("error"))
     val agg = written.groupBy(col("pid")).agg(
       count(lit(1)).as("rows"),
       sum("in_bytes").as("bytes"),

@@ -121,7 +121,12 @@ object Lineage {
     val stamped = lineage.select("partition_id", "rows", "bytes", "digest")
     stamped.write.mode(SaveMode.Overwrite)
       .parquet(s"$outputDir/_lineage/data/offset=$newSnap")
-    val pids = stamped.select("partition_id").collect().map(_.getInt(0)).toSet
+    // collect the committed pids from the WRITTEN snapshot, not by
+    // re-executing the caller's plan: one execution, and the manifest can
+    // never diverge from the rows actually on disk (a non-deterministic
+    // input plan re-run could commit pids that were never written)
+    val pids = spark.read.parquet(s"$outputDir/_lineage/data/offset=$newSnap")
+      .select("partition_id").collect().map(_.getInt(0)).toSet
     val all = (already ++ pids).toSeq.sorted
     val json = s"""{"snapshot":$newSnap,"committed_pids":[${all.mkString(",")}]}"""
     val dir = Paths.get(outputDir, "_lineage")

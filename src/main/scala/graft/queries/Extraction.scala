@@ -128,9 +128,10 @@ object Extraction {
     "x_lineage" -> ((s, dir) =>
       extracted(s, dir)
         .withColumn("qpid", pmod(fp60(col("url")), lit(32L)))
-        .withColumn("rec", concat(col("url"), lit(":"),
-          coalesce(col("extracted_text"), lit("~")), lit(":"),
-          coalesce(col("error"), lit("~"))))
+        // same unambiguous length-prefixed record encoding as the
+        // production lineage digest (ExtractJob.digestRecord)
+        .withColumn("rec", graft.pipeline.ExtractJob.digestRecord(
+          col("url"), col("extracted_text"), col("error")))
         .groupBy(col("qpid"))
         .agg(count(lit(1)).as("n_rows"),
           sum(length(coalesce(col("extracted_text"), lit("")))).as("chars"),
@@ -218,8 +219,11 @@ object Extraction {
          |keyed AS (
          |  SELECT ('0x'||substr(md5(url),1,15))::BIGINT % 32 AS qpid,
          |    length(coalesce(et, '')) AS chars,
-         |    ('0x'||substr(md5(url || ':' || coalesce(et, '~') || ':' ||
-         |      coalesce(err, '~')),1,15))::BIGINT % 1000000007 AS h
+         |    ('0x'||substr(md5(
+         |      CASE WHEN url IS NULL THEN 'n' ELSE 'v'||length(url)||':'||url END ||
+         |      CASE WHEN et  IS NULL THEN 'n' ELSE 'v'||length(et)||':'||et END ||
+         |      CASE WHEN err IS NULL THEN 'n' ELSE 'v'||length(err)||':'||err END
+         |    ),1,15))::BIGINT % 1000000007 AS h
          |  FROM rows_)
          |SELECT qpid, count(*) AS n_rows,
          |  CAST(sum(chars) AS BIGINT) AS chars,

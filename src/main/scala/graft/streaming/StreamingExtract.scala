@@ -17,16 +17,29 @@ import org.apache.spark.sql.types._
   */
 object StreamingExtract {
 
+  /** best-effort recursive delete of a staged temp directory */
+  private def deleteRec(d: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(d)) {
+      val s = java.nio.file.Files.walk(d)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+
   /** The file streaming source requires a DIRECTORY; testdata tables are
-    * single parquet files — stage such a file into a temp dir.
+    * single parquet files — stage such a file into a temp dir for the
+    * duration of `f`, then delete it (repeated invocations previously
+    * leaked one staged copy of the table per call). Safe for the memory
+    * sinks used here: after awaitTermination the sink rows live in
+    * memory, not in the staged files.
     */
-  private def stageDir(path: String): String = {
-    val f = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.isDirectory(f)) path
+  private def withStagedDir[A](path: String)(f: String => A): A = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) f(path)
     else {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.copy(f, d.resolve(f.getFileName.toString))
-      d.toString
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName.toString))
+      try f(d.toString) finally deleteRec(d)
     }
   }
 
@@ -73,7 +86,8 @@ object StreamingExtract {
     * in-memory sink; complete mode so the result equals the batch query
     * (q_events_windowed oracle).
     */
-  def eventsWindowed(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+  def eventsWindowed(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withStagedDir(s"$dir/events.parquet") { staged =>
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
@@ -81,7 +95,7 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val events = spark.readStream.schema(schema).parquet(staged)
     val agg = events
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -106,7 +120,8 @@ object StreamingExtract {
     * whose end ≤ that watermark (the DuckDB oracle computes precisely
     * this).
     */
-  def eventsWindowedWatermarked(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+  def eventsWindowedWatermarked(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withStagedDir(s"$dir/events.parquet") { staged =>
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
@@ -114,7 +129,7 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val events = spark.readStream.schema(schema).parquet(staged)
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
@@ -167,19 +182,21 @@ object StreamingExtract {
       java.nio.file.Files.copy(p, staged.resolve(s"copy_a_${p.getFileName}"))
       java.nio.file.Files.copy(p, staged.resolve(s"copy_b_${p.getFileName}"))
     }
-    val events = spark.readStream.schema(schema).parquet(staged.toString)
-    val out = events
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
-      .select(col("event_id"), col("user_id"), col("event_type"))
-    val q = out.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy(col("event_id"))
+    try {
+      val events = spark.readStream.schema(schema).parquet(staged.toString)
+      val out = events
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val q = out.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy(col("event_id"))
+    } finally deleteRec(staged) // 2x the events table per call otherwise
   }
 
   /** Stream-static enrichment join: the unbounded event stream joins a
@@ -188,7 +205,8 @@ object StreamingExtract {
     * production pipeline; per-batch re-resolution of the static side is
     * Spark's contract, so a dim refresh is picked up between batches.
     */
-  def enrichStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+  def enrichStream(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withStagedDir(s"$dir/events.parquet") { staged =>
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
@@ -196,7 +214,7 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val events = spark.readStream.schema(schema).parquet(staged)
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val out = events.join(broadcast(dim), Seq("user_id"))
@@ -218,7 +236,8 @@ object StreamingExtract {
     * sessions closed by the final watermark (global max event time − 10
     * min), which the DuckDB oracle reproduces with gaps-and-islands SQL.
     */
-  def sessionWindows(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+  def sessionWindows(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withStagedDir(s"$dir/events.parquet") { staged =>
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
@@ -226,7 +245,7 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(stageDir(s"$dir/events.parquet"))
+    val events = spark.readStream.schema(schema).parquet(staged)
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -261,7 +280,8 @@ object StreamingExtract {
     * `session_window(ts, gap)` aggregation (bounded state, late events
     * beyond the watermark dropped) — not an unordered stateful fold.
     */
-  def sessionCounts(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+  def sessionCounts(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame =
+    withStagedDir(s"$dir/events.parquet") { staged =>
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = StructType(Seq(
@@ -271,7 +291,6 @@ object StreamingExtract {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val staged = stageDir(s"$dir/events.parquet")
     // enforce the single-batch assumption the in-batch sort relies on
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
     val nFiles = try listing.filter(p => p.toString.endsWith(".parquet")).count()

@@ -9,11 +9,16 @@ import graft.fixtures.PageHtml
   */
 object KernelBench {
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
+    val giant = args.contains("giant")
+    val nDocs = if (giant) args.filterNot(_ == "giant").headOption.map(_.toInt).getOrElse(8)
+                else args.headOption.map(_.toInt).getOrElse(20000)
     val words = ("the quick brown fox jumps over a lazy dog while data " +
       "flows through spark pipelines at scale with filters joins windows").split(' ')
     val docs: Array[(String, Array[Byte])] = (0 until nDocs).map { i =>
-      val n = 40 + i % 120
+      // giant mode: ~10 MB pages (the reference pins a 1 MiB blob case,
+      // test/test_s3_client.py:85-103 — crawls contain larger) — measures
+      // the tokenizer/classifier at multi-MB single-document size
+      val n = if (giant) 1600000 else 40 + i % 120
       val text = Array.tabulate(n)(j => words((i + j * 7) % words.length)).mkString(" ")
       (s"https://h${i % 7}.example.org/doc/$i",
         PageHtml.build(i.toLong, text, "en", withPayload = i % 10 == 0).getBytes("UTF-8"))

@@ -64,11 +64,17 @@ object ScalingBench {
     }
     // NaN-safe: a custom levels list may omit a pair — report n/a rather
     // than letting NaN sort into the median
+    // true median: average the two middle elements for even-length
+    // samples (picking sorted(size/2) reports the upper median)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def med(xs: Seq[Double]): String = {
       val v = xs.filterNot(_.isNaN)
-      if (v.isEmpty) "n/a" else f"${v.sorted.apply(v.size / 2)}%.3f"
+      if (v.isEmpty) "n/a" else f"${medianOf(v)}%.3f"
     }
-    def medT(n: Int) = results.map(_._1(n)).sorted.apply(results.size / 2)
+    def medT(n: Int) = medianOf(results.map(_._1(n)))
     println(f"[paired-median] " + levels.map(n => f"t$n=${medT(n)}%.2fs").mkString(" ") +
       s" eff(4→16)=${med(results.map(_._2))} eff(8→32)=${med(results.map(_._3))}")
   }

@@ -108,6 +108,15 @@ class PipelineSpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
     assert(scan.selectedPartitions.partitionCount == 1,
       "training-shard read must prune to exactly one partition")
+    // writer parallelism: the salt spreads each (split, shard) directory
+    // across several writer tasks — some directory must hold >1 file,
+    // and none may exceed writersPerShard files (no small-files explosion)
+    val filesPerDir = java.nio.file.Files.walk(java.nio.file.Paths.get(out, "shards"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString.split("/").dropRight(1).mkString("/"))
+      .groupBy(identity).map(_._2.length)
+    assert(filesPerDir.max > 1, s"salted export must use >1 writer per shard dir: $filesPerDir")
+    assert(filesPerDir.max <= 4, s"files per dir must be capped at writersPerShard: $filesPerDir")
   }
 
   test("null-url rows are digest-covered and never NPE the lineage agg") {

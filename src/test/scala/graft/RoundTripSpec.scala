@@ -76,7 +76,8 @@ class RoundTripSpec extends AnyFunSuite {
     val out = pages.select(col("url"),
       call_function("extract_content", col("url"), col("html"), col("lang")).as("r"))
     val scan = out.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
-    assert(scan.contains("url") && !scan.contains("ReadSchema: struct<doc_id:bigint,url:string,warc_ts:timestamp,html:binary,text:string"),
+    assert(scan.contains("url") && !scan.contains(
+      "ReadSchema: struct<doc_id:bigint,url:string,warc_ts:timestamp,html:binary,text:string"),
       s"scan must not read the full row:\n$scan")
     assert(!scan.matches("(?s).*ReadSchema:[^\\n]*\\btext\\b.*"), s"crawler text column must be pruned:\n$scan")
   }
