@@ -339,7 +339,50 @@ object Dedup {
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
       cosineVerified(corpus, cands)
+    }),
+
+    // CCNet-style PARAGRAPH-level dedup (Wenzek et al. 2020 §3.1): chunk
+    // each doc into fixed 10-word paragraphs, drop every paragraph whose
+    // exact hash was already seen at a smaller (doc_id, para_idx), and
+    // reassemble the surviving text — docs can shrink or vanish entirely.
+    // Repeated boilerplate is planted deterministically (doc_id%6==0
+    // pages share a lead paragraph) so the oracle predicts every removal.
+    // Scale shape: first-occurrence = groupBy(md5) min-struct (map-side
+    // partials, 32-byte shuffle keys — the same shape CCNet runs over
+    // Common Crawl), join-back on the hash, reassembly one shuffle on
+    // doc_id with per-doc bounded state.
+    "d_paragraph" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(Boilerplate + " "), col("text"))).otherwise(col("text")).as("t"))
+      val paras = d
+        .withColumn("ws", split(col("t"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ws)/10.0) as int)-1)," +
+            " i -> concat_ws(' ', slice(ws, i*10+1, 10)))")))
+        .toDF("doc_id", "para_idx", "para")
+        .withColumn("h", md5(col("para")))
+      val first = paras.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("para_idx"))).as("w"))
+      val kept = paras.join(first,
+          paras("h") === first("h") && paras("doc_id") === first("w.doc_id") &&
+            paras("para_idx") === first("w.para_idx"))
+        .select(paras("doc_id"), paras("para_idx"), paras("para"))
+      val agg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_paras_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(para_idx, para))), x -> x.para)"))
+          .as("dedup_text"))
+      d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+          coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** planted repeated lead paragraph (exactly 10 words = one chunk) */
+  private val Boilerplate =
+    "subscribe to our newsletter for updates and follow us online"
 
   private def shingleSqlDuckWhere(extra: String) = shingleSqlDuck.replace(
     "WHERE 9*c >= 4*(sa.n+sb.n)", s"WHERE 9*c >= 4*(sa.n+sb.n)$extra")
@@ -372,6 +415,33 @@ object Dedup {
         |    THEN 1 ELSE 0 END AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_jaccard_pairs" -> shingleSqlDuck,
+    "d_paragraph" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id%6 = 0 THEN '$Boilerplate ' || text
+         |         ELSE text END AS t
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(t,' ') AS ws FROM d),
+         |p AS (
+         |  SELECT doc_id, ws,
+         |    unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT)-1))
+         |      AS para_idx
+         |  FROM toks),
+         |paras AS (
+         |  SELECT doc_id, para_idx,
+         |    array_to_string(ws[(para_idx*10+1):(para_idx*10+10)], ' ') AS para
+         |  FROM p),
+         |r AS (
+         |  SELECT doc_id, para_idx, para, row_number()
+         |    OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+         |  FROM paras),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n, string_agg(para, ' ' ORDER BY para_idx) AS t
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_paras_kept,
+         |  coalesce(agg.t, '') AS dedup_text
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // identical output contract: LSH must recover every >=0.8 pair
     "d_minhash_lsh" -> shingleSqlDuck,
     // incremental = every near-dup pair touching the new (odd) batch;

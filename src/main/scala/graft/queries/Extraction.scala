@@ -38,6 +38,18 @@ object Extraction {
       |  WHEN doc_id%64 = 62 THEN 5
       |  ELSE 6 END) || '.example.org'""".stripMargin.replace("\n", " ")
 
+  /** Column form of PageHtml.hostIndex (same arithmetic as [[hostSql]]). */
+  private def hostIdxCol: Column = {
+    val m = col("doc_id") % 64
+    when(m < 32, 0).when(m < 48, 1).when(m < 56, 2)
+      .when(m < 60, 3).when(m < 62, 4).when(m === 62, 5).otherwise(6)
+  }
+
+  /** crawl timestamp arithmetic of fixtures.Corpus.tsFor, in epoch seconds */
+  private def tsEpochCol: Column =
+    lit(graft.fixtures.Corpus.EpochBaseMs / 1000L) +
+      (col("doc_id") % 14) * 86400L + (col("doc_id") % 3600)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // the flagship: full extraction, ok rows byte-checked against source
@@ -123,6 +135,75 @@ object Extraction {
         .orderBy(col("n_docs").desc, col("host"))
     }),
 
+    // URL canonicalization + latest-snapshot dedup — the cross-crawl dedup
+    // a Common-Crawl-style corpus needs BEFORE content dedup: the same
+    // page is re-fetched across crawls under tracking-param / fragment /
+    // case variants of one canonical URL; keep-latest collapses them.
+    // Re-crawls and URL variants are planted deterministically (doc_id
+    // routing) so DuckDB predicts every group. One shuffle, keyed on the
+    // canonical url, map-side partial agg — the 10^12-row shape (url
+    // cardinality ~ corpus size, no hot keys beyond host skew which this
+    // groupBy does not key on).
+    "d_url_latest" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+        .withColumn("u", concat(lit("https://h"), hostIdxCol,
+          lit(".example.org/doc/"), col("doc_id")))
+      // crawl 1: tracking-param / fragment / uppercase variants
+      val c1 = base.select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          upper(concat(col("u"), lit("?utm_source=feed"))))
+          .when(col("doc_id") % 4 === 1, concat(col("u"), lit("?utm_source=feed")))
+          .when(col("doc_id") % 4 === 3, concat(col("u"), lit("#nav")))
+          .otherwise(col("u")).as("url"),
+        tsEpochCol.as("ts_s"))
+      // crawl 2 (a week later): every fifth page re-fetched via a social link
+      val c2 = base.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("u"), lit("?utm_medium=social")).as("url"),
+          (tsEpochCol + 604800L).as("ts_s"))
+      c1.union(c2)
+        .withColumn("url_canon", lower(regexp_replace(col("url"), "[?#].*$", "")))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).as("n_crawls"), max(col("ts_s")).as("latest_ts_s"))
+        .orderBy(col("url_canon"))
+    }),
+
+    // outlink extraction — per-page anchors in document order, the edge
+    // list of the web graph. Typed flatMap over the tokenizer events
+    // (narrow, zero-shuffle at any corpus size); pos is the anchor's
+    // document-order index. The oracle predicts every href from the page
+    // template: boilerplate anchors are a frozen function of the variant.
+    "x_links" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.pages(s, dir).select(col("doc_id"), col("html"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, html) =>
+          graft.extract.Links.outlinks(html).iterator.zipWithIndex
+            .map { case (h, i) => (id, i, h) }
+        }
+        .toDF("doc_id", "pos", "href")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // web-graph in-degree: how many pages link to each target — the
+    // aggregate that seeds PageRank/host-rank signals. groupBy on the
+    // href key: hot targets ("/" here, homepage links at crawl scale)
+    // are absorbed by map-side partial aggregation — each task emits one
+    // partial per key, so the hot reducer receives #tasks rows, not
+    // #edges (same two-phase shape as x_hosts_salted, without needing an
+    // explicit salt for an algebraic count).
+    "x_link_graph" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.pages(s, dir).select(col("doc_id"), col("html"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, html) =>
+          graft.extract.Links.outlinks(html).iterator.map(h => (id, h))
+        }
+        .toDF("doc_id", "href")
+        .groupBy(col("href"))
+        .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("href"))
+    }),
+
     // lineage over the extraction output, keyed on an md5-based pid so
     // DuckDB can recompute the per-partition digests exactly
     "x_lineage" -> ((s, dir) =>
@@ -155,7 +236,50 @@ object Extraction {
     idx - 2 * id.toString.length - "de".length - (text.length + 7)
   }
 
+  /** Per-variant anchor href lists, probed from the REAL page builder by
+    * an independent trivial parser (template anchors are always
+    * double-quoted with href first, so the regex is exact on the fixture
+    * grammar — it shares no code with the tokenizer under test). Probing
+    * keeps the oracle honest under template edits, like [[spanConsts]].
+    */
+  private lazy val variantHrefs: IndexedSeq[Seq[String]] = (0 to 3).map { v =>
+    val html = PageHtml.build(30L, "alpha beta gamma", "de", variant = v)
+    "<a href=\"([^\"]*)\"".r.findAllMatchIn(html).map(_.group(1)).toSeq
+  }
+
+  private def hrefListSql(v: Int): String =
+    variantHrefs(v).map(h => s"'$h'").mkString("[", ", ", "]")
+
+  /** (doc_id, pos, href) prediction shared by the x_links / x_link_graph
+    * oracles — every non-garbage, non-null page carries exactly its
+    * variant's boilerplate anchors in template order.
+    */
+  private def linksSqlDuck: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, CAST((doc_id//20)%4 AS INT) AS var
+       |  FROM documents WHERE doc_id%20 NOT IN (7, 13)),
+       |arr AS (
+       |  SELECT doc_id, CASE var WHEN 0 THEN ${hrefListSql(0)}
+       |    WHEN 1 THEN ${hrefListSql(1)}
+       |    WHEN 2 THEN ${hrefListSql(2)}
+       |    ELSE ${hrefListSql(3)} END AS hrefs
+       |  FROM v),
+       |u AS (
+       |  SELECT doc_id, unnest(hrefs) AS href,
+       |    generate_subscripts(hrefs, 1) AS pos
+       |  FROM arr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_links" ->
+      s"""$linksSqlDuck
+         |SELECT doc_id, CAST(pos - 1 AS INT) AS pos, href
+         |FROM u ORDER BY doc_id, pos""".stripMargin,
+
+    "x_link_graph" ->
+      s"""$linksSqlDuck
+         |SELECT href, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY href""".stripMargin,
+
     "x_extract" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text
@@ -199,6 +323,27 @@ object Extraction {
         |  CASE WHEN doc_id%15 = 4 THEN NULL
         |       ELSE 's' || doc_id END AS session_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_url_latest" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    'https://' || $hostSql || '/doc/' || doc_id AS u,
+         |    ${graft.fixtures.Corpus.EpochBaseMs / 1000L}
+         |      + (doc_id%14)*86400 + (doc_id%3600) AS ts_s
+         |  FROM documents),
+         |c1 AS (
+         |  SELECT CASE WHEN doc_id%9 = 0 THEN upper(u || '?utm_source=feed')
+         |              WHEN doc_id%4 = 1 THEN u || '?utm_source=feed'
+         |              WHEN doc_id%4 = 3 THEN u || '#nav'
+         |              ELSE u END AS url, ts_s
+         |  FROM base),
+         |c2 AS (
+         |  SELECT u || '?utm_medium=social' AS url, ts_s + 604800 AS ts_s
+         |  FROM base WHERE doc_id%5 = 0),
+         |a AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |SELECT lower(regexp_replace(url, '[?#].*$$', '')) AS url_canon,
+         |  count(*) AS n_crawls, max(ts_s) AS latest_ts_s
+         |FROM a GROUP BY 1 ORDER BY url_canon""".stripMargin,
 
     "x_hosts_salted" ->
       s"""SELECT $hostSql AS host, count(*) AS n_docs,

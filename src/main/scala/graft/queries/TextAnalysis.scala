@@ -143,7 +143,36 @@ object TextAnalysis {
           md5(col("text")).as("fp_md5"),
           conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp60"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII detection + scrubbing — the pre-training privacy pass: count
+    // email / phone matches and emit the masked text. PII instances are
+    // planted deterministically (doc_id routing) so DuckDB predicts every
+    // match; patterns are kept in the Java∩RE2 common regex subset so the
+    // two engines match identically. Pure map-side — zero shuffles at any
+    // corpus size (the orderBy is presentation-only).
+    "t_pii" -> ((s, dir) => {
+      val withPii = docs(s, dir).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact agent"), col("doc_id"),
+              lit("@mail.example.com for details"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" now"))).otherwise(lit(""))))
+      withPii.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("t2"), PhoneRe, "<PHONE>"),
+            EmailRe, "<EMAIL>").as("scrubbed"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** Java-regex ∩ RE2 (DuckDB) common subset — no backrefs/lookarounds. */
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
 
   val oracles: Map[String, String] = Map(
     "t_langid" -> {
@@ -233,5 +262,21 @@ object TextAnalysis {
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,
         |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp60
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id%7 = 0
+         |      THEN ' contact agent' || doc_id || '@mail.example.com for details'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id%11 = 0
+         |      THEN ' call +1-555-' || lpad(CAST(doc_id%10000 AS VARCHAR), 4, '0') || ' now'
+         |      ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t2, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed
+         |FROM p ORDER BY doc_id""".stripMargin)
 }

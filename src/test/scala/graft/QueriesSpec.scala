@@ -143,6 +143,60 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("paragraph dedup removes exactly the repeated boilerplate/dup paragraphs") {
+    import spark.implicits._
+    val out = Dedup.defs("d_paragraph")(spark, sfDir)
+      .select("doc_id", "n_paras_kept", "dedup_text")
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the planted boilerplate paragraph survives only at its FIRST
+    // occurrence (smallest doc_id%6==0), and is stripped from every later one
+    val boiler = "subscribe to our newsletter"
+    val planted = out.filter(_._1 % 6 == 0).sortBy(_._1)
+    assert(planted.head._3.startsWith(boiler), "first occurrence keeps the paragraph")
+    assert(planted.tail.forall(!_._3.contains(boiler)), "later occurrences are stripped")
+    // a doc with no duplicated paragraphs round-trips its text unchanged
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .as[(Long, String, String, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    val untouched = out.filter(r => r._1 % 6 != 0 && byId(r._1)._3 == texts(r._1))
+    assert(untouched.nonEmpty, "some docs must survive verbatim")
+  }
+
+  test("PII scrub removes every planted email/phone and nothing else") {
+    import spark.implicits._
+    val rows = graft.queries.TextAnalysis.defs("t_pii")(spark, sfDir)
+      .as[(Long, Int, Int, String)].collect()
+    rows.foreach { case (id, ne, np, scrubbed) =>
+      assert(!scrubbed.contains("@"), s"doc $id: unscrubbed email")
+      assert(!scrubbed.contains("+1-555-"), s"doc $id: unscrubbed phone")
+      assert((id % 7 == 0) == (ne == 1) && (id % 7 != 0) == (ne == 0), s"doc $id email count $ne")
+      assert((id % 11 == 0) == (np == 1), s"doc $id phone count $np")
+      if (id % 7 == 0) assert(scrubbed.contains("contact <EMAIL> for details"), s"doc $id mask")
+      if (id % 11 == 0) assert(scrubbed.contains("call <PHONE> now"), s"doc $id mask")
+    }
+  }
+
+  test("url latest-snapshot dedup: canonical groups collapse variants, latest wins") {
+    import spark.implicits._
+    val rows = graft.queries.Extraction.defs("d_url_latest")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per canonical url")
+    assert(rows.forall(r => r._1 == r._1.toLowerCase && !r._1.contains("?") && !r._1.contains("#")),
+      "canonical urls are lowercase and tracking/fragment-free")
+    // doc_id%5==0 pages were re-crawled a week later: 2 crawls, else 1
+    rows.foreach { case (url, nCrawls, latest) =>
+      val id = url.split("/").last.toLong
+      val baseTs = graft.fixtures.Corpus.EpochBaseMs / 1000L + (id % 14) * 86400L + (id % 3600)
+      if (id % 5 == 0) {
+        assert(nCrawls == 2L, s"$url: expected 2 crawls")
+        assert(latest == baseTs + 604800L, s"$url: latest must be the re-crawl")
+      } else {
+        assert(nCrawls == 1L, s"$url: expected 1 crawl")
+        assert(latest == baseTs, s"$url: latest is the single crawl")
+      }
+    }
+  }
+
   test("host skew present: h0 carries ~half the corpus (salting fixture)") {
     val hosts = graft.queries.Extraction.defs("x_hosts_salted")(spark, sfDir).collect()
     assert(hosts.length >= 5, s"expected >=5 hosts, got ${hosts.length}")
