@@ -167,6 +167,32 @@ object Extraction {
         .orderBy(col("url_canon"))
     }),
 
+    // WARC round trip — the Common-Crawl native container exercised end
+    // to end: pages are serialized into gzipped WARC chunk files (one
+    // gzip member per record, the real CC layout), read back through the
+    // tolerant WARC source, and extracted. The oracle predicts every row
+    // from the documents table alone (url/ts arithmetic + the extraction
+    // round-trip contract), so the WARC encode→decode→extract chain is
+    // externally checked byte-for-byte: text, language header, and the
+    // second-granularity WARC-Date all survive the container.
+    "x_warc" -> ((s, dir) => {
+      val staged = s"/tmp/graft-warc-v${PageHtml.CorpusVersion}-" +
+        new java.io.File(dir).getName
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
+        graft.sources.Warc.write(s, Corpus.pages(s, dir), staged)
+      GraftFunctions.register(s)
+      graft.sources.Warc.read(s, staged)
+        .withColumn("r",
+          call_function("extract_content", col("url"), col("html"), col("lang")))
+        .where(col("r.error").isNull)
+        .select(
+          element_at(split(col("url"), "/"), -1).cast("long").as("doc_id"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch_s"),
+          col("lang"),
+          col("r.extracted_text").as("extracted_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // outlink extraction — per-page anchors in document order, the edge
     // list of the web graph. Typed flatMap over the tokenizer events
     // (narrow, zero-shuffle at any corpus size); pos is the anchor's
@@ -285,6 +311,18 @@ object Extraction {
         |  CASE WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text
         |FROM documents WHERE doc_id%20 NOT IN (3, 13, 19)
         |ORDER BY doc_id""".stripMargin,
+
+    // null-html pages (doc_id%20==13) produce no WARC record at all, so
+    // unlike x_extract the "validation" class is absent from the input,
+    // not error-routed — the ok-row set is the same either way
+    "x_warc" ->
+      s"""SELECT doc_id,
+         |  ${graft.fixtures.Corpus.EpochBaseMs / 1000L}
+         |    + (doc_id%14)*86400 + (doc_id%3600) AS warc_epoch_s,
+         |  lang,
+         |  CASE WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text
+         |FROM documents WHERE doc_id%20 NOT IN (3, 13, 19)
+         |ORDER BY doc_id""".stripMargin,
 
     "x_errors" ->
       """SELECT doc_id,

@@ -1,0 +1,127 @@
+package graft
+
+import graft.fixtures.Corpus
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+
+/** WARC source/sink: byte-exact round trip through the Common-Crawl
+  * container (gzip multi-member and plain), content-length framing, and
+  * the tolerant-parse contract (junk, truncation, foreign record types,
+  * fuzz — never throws).
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def roundTrip(gzip: Boolean): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    val pages = Corpus.pages(spark, sfDir)
+    Warc.write(spark, pages, dir, numFiles = 4, gzip = gzip)
+    val back = Warc.read(spark, dir)
+    val orig = pages.where(col("html").isNotNull)
+      .select(col("url"), unix_timestamp(col("warc_ts")).as("ts"),
+        md5(col("html")).as("h"), col("lang"))
+      .as[(String, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    val got = back
+      .select(col("url"), unix_timestamp(col("warc_ts")).as("ts"),
+        md5(col("html")).as("h"), col("lang"), col("http_status"), col("mime"))
+      .as[(String, Long, String, String, Int, String)].collect()
+    assert(got.length == orig.size, s"row count ${got.length} vs ${orig.size}")
+    got.foreach { case (url, ts, h, lang, status, mime) =>
+      val (_, ots, oh, olang) = orig(url)
+      assert(ts == ots, s"$url: warc_ts drift")
+      assert(h == oh, s"$url: html bytes drift")
+      assert(lang == olang, s"$url: lang header drift")
+      assert(status == 200 && mime == "text/html", s"$url: http envelope")
+    }
+  }
+
+  test("gzipped round trip: every non-null page survives byte-exactly") {
+    roundTrip(gzip = true)
+  }
+
+  test("plain round trip: every non-null page survives byte-exactly") {
+    roundTrip(gzip = false)
+  }
+
+  test("output chunk files are deterministic across writes") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-warc-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-warc-b").toString
+    val pages = Corpus.pages(spark, sfDir)
+    Warc.write(spark, pages, d1, numFiles = 2, gzip = false)
+    Warc.write(spark, pages, d2, numFiles = 2, gzip = false)
+    (0 until 2).foreach { i =>
+      val f = f"part-$i%05d.warc"
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, f))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, f))
+      assert(java.util.Arrays.equals(a, b), s"$f bytes differ between runs")
+    }
+  }
+
+  test("content-length framing: a body containing 'WARC/1.0' does not split the record") {
+    val body = "<p>literal WARC/1.0\r\n\r\nheader-looking bytes</p>".getBytes("UTF-8")
+    val rec = graft.sources.WarcTestAccess.record("https://x.example/a", 1767225600000L, "en", body)
+    val docs = parse(rec)
+    assert(docs.map(_.url) == Seq("https://x.example/a"))
+    assert(java.util.Arrays.equals(docs.head.html, body))
+  }
+
+  test("tolerance: junk around records, foreign record types, truncated tail") {
+    val a = graft.sources.WarcTestAccess.record("https://x.example/a", 1767225600000L, "en", "<p>a</p>".getBytes)
+    val warcinfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n" +
+      "Content-Length: 9\r\n\r\nrobots: x\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+    val b = graft.sources.WarcTestAccess.record("https://x.example/b", 1767225600000L, "de", "<p>b</p>".getBytes)
+    val junk = "random garbage not a record".getBytes
+    val truncated = graft.sources.WarcTestAccess.record("https://x.example/c", 0L, "fr", "<p>long body c</p>".getBytes)
+      .dropRight(12) // cut inside the body
+    val chunk = junk ++ a ++ warcinfo ++ junk ++ b ++ truncated
+    val docs = parse(chunk)
+    // a and b parse; the truncated record still yields its clamped body prefix
+    assert(docs.map(_.url).take(2) == Seq("https://x.example/a", "https://x.example/b"))
+    assert(docs.forall(_.http_status == 200))
+  }
+
+  test("record missing content-length is skipped, later records still parse") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n\r\nHTTP/1.1 200 OK\r\n\r\nx")
+      .getBytes(StandardCharsets.US_ASCII)
+    val good = graft.sources.WarcTestAccess.record("https://x.example/ok", 1767225600000L, "en", "<p>ok</p>".getBytes)
+    val docs = parse(bad ++ good)
+    assert(docs.map(_.url) == Seq("https://x.example/ok"))
+  }
+
+  test("totality: parser never throws on arbitrary bytes") {
+    val p = Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      parse(bs) // must not throw
+      true
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("totality: parser never throws on record bytes with flipped regions") {
+    val rec = graft.sources.WarcTestAccess.record("https://x.example/f", 1767225600000L, "en",
+      graft.fixtures.PageHtml.build(42L, "alpha beta gamma", "en").getBytes("UTF-8"))
+    val g = for {
+      at <- Gen.chooseNum(0, rec.length - 1)
+      len <- Gen.chooseNum(1, 32)
+      b <- Gen.chooseNum(Byte.MinValue, Byte.MaxValue)
+    } yield { val c = rec.clone(); (at until math.min(at + len, c.length)).foreach(c(_) = b); c }
+    val p = Prop.forAll(g) { bs => parse(bs); true }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private def parse(bytes: Array[Byte]) = {
+    // reflection-free access to the package-private parser via a same-
+    // package test helper in graft.sources
+    graft.sources.WarcTestAccess.parse(bytes)
+  }
+}
