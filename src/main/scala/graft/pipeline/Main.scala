@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *                       [--num-pids N] [--since-day YYYY-MM-DD] [--until-day YYYY-MM-DD]
   *   graft.pipeline.Main --from-documents <sfDir> --output <dir> [--num-pids N]
   *     (synthesizes the page table from the documents testdata — demo mode)
+  *   graft.pipeline.Main --from-warc <warc-dir> --output <dir> [--num-pids N]
+  *     (ingests Common-Crawl-style *.warc / *.warc.gz chunks directly)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -36,8 +38,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val pages = (opts.get("--input"), opts.get("--from-documents")) match {
-        case (Some(in), _) =>
+      val pages = (opts.get("--input"), opts.get("--from-documents"), opts.get("--from-warc")) match {
+        case (Some(in), _, _) =>
           var df = spark.read.parquet(in)
           // partition pruning on the warc_day table layout
           val pruned = Seq(
@@ -46,9 +48,11 @@ object Main {
           ).flatten
           pruned.foreach(p => df = df.where(p))
           df
-        case (None, Some(sf)) =>
+        case (None, Some(sf), _) =>
           Corpus.pagesAmplified(spark, sf, sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1").toInt)
-        case _ => sys.error("one of --input or --from-documents is required")
+        case (None, None, Some(warcDir)) =>
+          graft.sources.Warc.read(spark, warcDir)
+        case _ => sys.error("one of --input, --from-documents or --from-warc is required")
       }
       val takeover = opts.get("--takeover").exists(_.toBoolean)
       val report = ExtractJob.run(spark, pages,

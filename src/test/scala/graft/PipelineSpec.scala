@@ -2,6 +2,7 @@ package graft
 
 import graft.fixtures.Corpus
 import graft.pipeline.{ExtractJob, Lineage}
+import graft.sources.Warc
 import graft.pipeline.ExtractJob.JobConfig
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -49,6 +50,33 @@ class PipelineSpec extends AnyFunSuite {
     val mjson = new String(Files.readAllBytes(
       java.nio.file.Paths.get(out, "_metrics", "run-1.json")), "UTF-8")
     assert(mjson.contains("\"docs_per_sec\"") && mjson.contains("\"failure_rate\""))
+  }
+
+  test("pipeline over WARC input: same ok-row set as the parquet path") {
+    import spark.implicits._
+    val warcDir = freshDir("warc-in")
+    Warc.write(spark, Corpus.pages(spark, sfDir), warcDir, numFiles = 4)
+    val out = freshDir("warc-out")
+    val report = ExtractJob.run(spark, Warc.read(spark, warcDir), JobConfig(out, numPids = 8))
+    // null-html pages never became WARC records → no validation class;
+    // everything else routes exactly as on the parquet path
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(report.failedValidation == 0)
+    assert(report.docsTotal == docs.filter(col("doc_id") % 20 =!= 13).count())
+    assert(report.failedPayload == docs.filter(col("doc_id") % 20 === 19).count())
+    assert(report.failedUnexpected == docs.filter(col("doc_id") % 20 === 3).count())
+    // ok rows byte-identical to the source text (the x_extract contract)
+    val got = ExtractJob.docs(spark, out).where(col("error").isNull)
+      .select(element_at(split(col("url"), "/"), -1).cast("long").as("doc_id"),
+        col("extracted_text"))
+      .as[(Long, String)].collect().toMap
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter(r => r._1 % 20 != 3 && r._1 % 20 != 13 && r._1 % 20 != 19).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, text) =>
+      val expected = if (id % 20 == 7) "" else text
+      assert(got(id) == expected, s"doc $id text drift through WARC")
+    }
   }
 
   test("resume after kill: second run processes exactly the uncommitted pids; digests stable") {
