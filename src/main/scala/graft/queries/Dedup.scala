@@ -341,6 +341,28 @@ object Dedup {
       cosineVerified(corpus, cands)
     }),
 
+    // INCREMENTAL EXACT dedup through the persisted Bloom index — the
+    // continuous-crawl shape for byte-identical re-crawls (the most
+    // common dup class on the web). Corpus hashes live in a stored index
+    // (parquet + Bloom filter); the new batch — half planted exact copies
+    // (doc_id%4==0, re-keyed +10^6), half novel texts (%4==2, +2·10^6) —
+    // is pruned MAP-SIDE by the broadcast Bloom filter before the exact
+    // hash join removes false positives. The oracle mirrors the full
+    // batch construction + canonical join in SQL.
+    "d_bloom_incremental" -> ((s, dir) => {
+      val idx = s"/tmp/graft-bloomidx-${new java.io.File(dir).getName}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "bloom.bin")) ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "hashes", "_SUCCESS")))
+        buildExactIndex(s, docs(s, dir), idx)
+      val d = docs(s, dir)
+      val batch = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .union(d.where(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" novel")).as("text")))
+      probeExactIndex(s, batch, idx)
+    }),
+
     // CCNet-style PARAGRAPH-level dedup (Wenzek et al. 2020 §3.1): chunk
     // each doc into fixed 10-word paragraphs, drop every paragraph whose
     // exact hash was already seen at a smaller (doc_id, para_idx), and
@@ -383,6 +405,51 @@ object Dedup {
   /** planted repeated lead paragraph (exactly 10 words = one chunk) */
   private val Boilerplate =
     "subscribe to our newsletter for updates and follow us online"
+
+  // -------------------------- Bloom-filter exact-dedup index lifecycle --
+
+  /** Build the persisted EXACT-dedup index over `documents`: the
+    * (text-hash → canonical doc_id) table as parquet, plus a Bloom filter
+    * over the hashes (1% fpp) as a binary artifact. At 10^12 docs the
+    * Bloom filter is ~1.2 GB per 10^9 corpus docs — broadcastable to
+    * executors — while the hash table stays on disk and is only ever
+    * touched by the (tiny, pre-filtered) candidate join in the probe.
+    */
+  def buildExactIndex(s: SparkSession, documents: DataFrame, indexDir: String): Unit = {
+    val hashed = documents.select(md5(col("text")).as("th"), col("doc_id"))
+    val canon = hashed.groupBy(col("th")).agg(min(col("doc_id")).as("canonical_id"))
+    canon.write.mode("overwrite").parquet(s"$indexDir/hashes")
+    val n = math.max(canon.count(), 1L)
+    val bf = hashed.stat.bloomFilter("th", n, 0.01)
+    val os = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$indexDir/bloom.bin"))
+    try bf.writeTo(os) finally os.close()
+  }
+
+  /** Exact duplicates of `newDocs` against the STORED index: the Bloom
+    * filter (broadcast bytes, deserialized once per partition) prunes the
+    * batch MAP-SIDE — only the ~1% false positives plus the true dups
+    * reach the shuffle join against the hash table, which removes the
+    * false positives exactly. Work ∝ |batch| + |dup candidates|, never a
+    * full-corpus shuffle: the continuous-crawl shape for exact dedup.
+    */
+  def probeExactIndex(s: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
+    import s.implicits._
+    val bfBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$indexDir/bloom.bin"))
+    val bc = s.sparkContext.broadcast(bfBytes)
+    val cands = newDocs.select(col("doc_id"), md5(col("text")).as("th"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.filter { case (_, th) => bf.mightContainString(th) }
+      }
+      .toDF("doc_id", "th")
+    cands.join(s.read.parquet(s"$indexDir/hashes"), Seq("th")) // exact verify: kills fps
+      .select(col("doc_id"), col("canonical_id").as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
 
   private def shingleSqlDuckWhere(extra: String) = shingleSqlDuck.replace(
     "WHERE 9*c >= 4*(sa.n+sb.n)", s"WHERE 9*c >= 4*(sa.n+sb.n)$extra")
@@ -447,6 +514,19 @@ object Dedup {
     // incremental = every near-dup pair touching the new (odd) batch;
     // pairs internal to the indexed corpus are out of scope by contract
     "d_incremental" -> shingleSqlDuckWhere(" AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)"),
+    "d_bloom_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id%4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' novel' AS text
+        |  FROM documents WHERE doc_id%4 = 2),
+        |canon AS (
+        |  SELECT md5(text) AS th, min(doc_id) AS canonical_id
+        |  FROM documents GROUP BY 1)
+        |SELECT b.doc_id, c.canonical_id AS dup_of
+        |FROM batch b JOIN canon c ON md5(b.text) = c.th
+        |ORDER BY b.doc_id""".stripMargin,
     "d_simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),

@@ -143,6 +143,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("Bloom exact-dedup index: build, probe finds exactly the planted copies, no-dup batch empty") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-bloom-idx").toString
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.buildExactIndex(spark, d, idx)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(idx, "bloom.bin")) > 0)
+    // planted exact copies are all found with the right canonical ids
+    val copies = d.select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val found = Dedup.probeExactIndex(spark, copies, idx)
+      .as[(Long, Long)].collect().toMap
+    val expected = Dedup.defs("d_exact_canonical")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().map(r => (r._1 + 5000L) -> r._2).toMap
+    assert(found == expected, "probe must report every copy with its canonical id")
+    // a batch of guaranteed-novel texts yields nothing (the ~1% Bloom
+    // false positives are removed by the exact hash join)
+    val novel = d.select((col("doc_id") + 9000L).as("doc_id"),
+      concat(col("text"), lit(" zzz novel suffix")).as("text"))
+    assert(Dedup.probeExactIndex(spark, novel, idx).count() == 0)
+  }
+
   test("paragraph dedup removes exactly the repeated boilerplate/dup paragraphs") {
     import spark.implicits._
     val out = Dedup.defs("d_paragraph")(spark, sfDir)
