@@ -124,6 +124,46 @@ class PlanSpec extends AnyFunSuite {
       s"expected a map-side partial top-k aggregation phase:\n$plan")
   }
 
+  test("x_links is narrow: zero exchanges except the presentation sort") {
+    val q = graft.queries.Extraction.defs("x_links")(spark, sfDir)
+    val plan = q.queryExecution.sparkPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"link extraction must not shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"no hash shuffle in extraction:\n$plan")
+  }
+
+  test("d_paragraph shuffles on the 32-byte paragraph hash, never paragraph text") {
+    val plan = graft.queries.Dedup.defs("d_paragraph")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("para#") || l.contains("(para,") || l.contains(" para,")))
+    assert(!badExchange, s"paragraph text must not be a shuffle key:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"first-occurrence agg must have a map-side partial phase:\n$plan")
+  }
+
+  test("bloom probe prunes map-side before the hash join (no broadcast dependence)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bloom-plan").toString
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.queries.Dedup.buildExactIndex(spark, d, idx)
+      val q = graft.queries.Dedup.probeExactIndex(spark, d.limit(50), idx)
+      assert(q.count() == 50) // every corpus doc is its own exact dup
+      val plan = q.queryExecution.executedPlan.toString
+      // the typed Bloom filter stage sits UNDER the join: candidates are
+      // pruned before any exchange ships them
+      assert(plan.contains("MapPartitions"), s"expected the Bloom prune stage:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"probe must not depend on broadcasting the hash table:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
     graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)
