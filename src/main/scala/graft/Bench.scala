@@ -26,7 +26,9 @@ object Bench {
     "d_embed_lsh", "s_ann_bruteforce", "s_ann_ivf",
     "t_quality", "t_tokens", "t_fingerprint",
     "t_winnow", "c_split", "c_curate", "c_shard_stats",
-    "mm_image_meta", "mm_audio_energy")
+    "mm_image_meta", "mm_audio_energy",
+    "d_paragraph", "d_bloom_incremental", "d_url_latest", "t_pii",
+    "x_links", "x_link_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed-host join at runtime (north-star skew handling)") {
+    // h0 carries ~half the corpus (the planted Zipf skew); with broadcast
+    // off and the skew thresholds scaled to the fixture, AQE must detect
+    // the hot host's shuffle partition and split it at runtime — the
+    // 100 TB behavior, observed on the real plan, not just configured
+    val s = spark
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> null,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> null,
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> null,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> null)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      // repartition(8) gives the join shuffle 8 mappers: AQE splits a
+      // skewed reduce partition at map-output granularity, so a
+      // single-mapper input (one parquet file) can never split — the
+      // same reason real ingest keeps many input splits per executor
+      val pages = graft.fixtures.Corpus.pages(s, sfDir)
+        .repartition(8, col("url"))
+        .select(element_at(split(col("url"), "/"), 3).as("host"), col("url"), col("text"))
+      val perHost = pages.select(col("host"), col("url").as("u2"))
+      val j = pages.join(perHost, Seq("host"))
+      // collect() executes THIS queryExecution (foreach/.rdd would build
+      // a second one and leave this plan non-final)
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE plan must be final:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"the hot-host join must be marked skew=true after AQE replan:\n$plan")
+      assert(plan.contains("skewed"),
+        s"expected an AQEShuffleRead skew split:\n$plan")
+    } finally restore.foreach { case (k, v) =>
+      if (v == null) s.conf.unset(k) else s.conf.set(k, v)
+    }
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-push").toString
     graft.fixtures.Corpus.pages(spark, sfDir).write.mode("overwrite").parquet(tmp)
