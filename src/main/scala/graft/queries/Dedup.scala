@@ -341,6 +341,44 @@ object Dedup {
       cosineVerified(corpus, cands)
     }),
 
+    // DUP-CLUSTER connected components — the transitive-closure step
+    // between pair generation and canonical selection: near-dup is not
+    // transitive (a~b, b~c ⇏ a~c), so clusters must be closed before one
+    // representative per cluster is kept. Iterative min-label propagation
+    // (the standard large-scale CC shape; converges in O(cluster
+    // diameter) rounds — tiny for dup clusters), each round one shuffle
+    // keyed on ids, lineage cut by localCheckpoint so plans stay bounded.
+    // DuckDB verifies against a true transitive closure (recursive CTE).
+    // Output: every doc with its cluster id (min doc_id in the cluster)
+    // and the is_canonical marker that curation keeps.
+    "d_components" -> ((s, dir) => {
+      val pairs = verifiedPairs(shingles(docs(s, dir)), None)
+        .select(col("a_id"), col("b_id"))
+      val edges = pairs
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("u", "v").cache()
+      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("comp"))
+        .localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val nbr = edges.join(labels, edges("v") === labels("doc_id"))
+          .select(col("u").as("doc_id"), col("comp"))
+        val next = labels.select(col("doc_id"), col("comp")).union(nbr)
+          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+          .where(col("comp") =!= col("old")).count()
+        labels = next
+        iters += 1
+      }
+      edges.unpersist()
+      require(changed == 0, s"label propagation did not converge in $iters rounds")
+      labels
+        .withColumn("is_canonical", (col("doc_id") === col("comp")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL EXACT dedup through the persisted Bloom index — the
     // continuous-crawl shape for byte-identical re-crawls (the most
     // common dup class on the web). Corpus hashes live in a stored index
@@ -514,6 +552,39 @@ object Dedup {
     // incremental = every near-dup pair touching the new (odd) batch;
     // pairs internal to the indexed corpus are out of scope by contract
     "d_incremental" -> shingleSqlDuckWhere(" AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)"),
+    // true transitive closure, independent of the propagation algorithm
+    "d_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |  FROM toks WHERE len(ws) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
+        |  FROM idx),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE 9*c >= 4*(sa.n+sb.n)),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |mn AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(mn.mv, d.doc_id)) AS comp,
+        |  CASE WHEN least(d.doc_id, coalesce(mn.mv, d.doc_id)) = d.doc_id
+        |    THEN 1 ELSE 0 END AS is_canonical
+        |FROM documents d LEFT JOIN mn ON d.doc_id = mn.u
+        |ORDER BY d.doc_id""".stripMargin,
     "d_bloom_incremental" ->
       """WITH batch AS (
         |  SELECT doc_id + 1000000 AS doc_id, text

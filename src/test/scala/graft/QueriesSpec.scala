@@ -143,6 +143,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("dup-cluster components: closure of the pair graph, min-id canonical") {
+    import spark.implicits._
+    val comps = Dedup.defs("d_components")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.defs("d_jaccard_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every near-dup pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(comps(a) == comps(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the smallest member id; singletons are their own id
+    val members = comps.groupBy(_._2).view.mapValues(_.keys.min)
+    members.foreach { case (comp, minId) => assert(comp == minId) }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    comps.filterNot(c => inPairs(c._1)).foreach { case (id, comp) =>
+      assert(id == comp, s"doc $id touches no pair but is not a singleton")
+    }
+  }
+
   test("Bloom exact-dedup index: build, probe finds exactly the planted copies, no-dup batch empty") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-bloom-idx").toString
