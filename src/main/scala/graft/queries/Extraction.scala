@@ -39,11 +39,21 @@ object Extraction {
       |  ELSE 6 END) || '.example.org'""".stripMargin.replace("\n", " ")
 
   /** Column form of PageHtml.hostIndex (same arithmetic as [[hostSql]]). */
-  private def hostIdxCol: Column = {
-    val m = col("doc_id") % 64
+  private def hostIdxFor(id: Column): Column = {
+    val m = id % 64
     when(m < 32, 0).when(m < 48, 1).when(m < 56, 2)
       .when(m < 60, 3).when(m < 62, 4).when(m === 62, 5).otherwise(6)
   }
+
+  private def hostIdxCol: Column = hostIdxFor(col("doc_id"))
+
+  /** [[hostSql]] generalized to any id expression (oracle-side twin) */
+  private def hostIdxSqlFor(idExpr: String): String =
+    s"""(CASE WHEN ($idExpr)%64 < 32 THEN 0
+       |  WHEN ($idExpr)%64 < 48 THEN 1 WHEN ($idExpr)%64 < 56 THEN 2
+       |  WHEN ($idExpr)%64 < 60 THEN 3 WHEN ($idExpr)%64 < 62 THEN 4
+       |  WHEN ($idExpr)%64 = 62 THEN 5
+       |  ELSE 6 END)""".stripMargin.replace("\n", " ")
 
   /** crawl timestamp arithmetic of fixtures.Corpus.tsFor, in epoch seconds */
   private def tsEpochCol: Column =
@@ -230,6 +240,42 @@ object Extraction {
         .orderBy(col("href"))
     }),
 
+    // host-graph PageRank — the iterative web-graph signal (host rank
+    // feeds crawl prioritization and quality weighting). All arithmetic
+    // is INTEGER (ranks scaled by 10^12, damping as (15·R0 + 85·Σ)/100
+    // with integer division), so sums are order-independent and the
+    // 3-iteration fixpoint is bit-exact across engines — the standard
+    // trick for making iterative float workloads oracle-checkable.
+    // Per iteration: one shuffle on dst for the contribution sum (weights
+    // and degrees are tiny per-host aggregates — broadcastable at any
+    // corpus size since hosts ≪ docs).
+    "x_host_rank" -> ((s, dir) => {
+      val R0 = 1000000000000L
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      // deterministic host multigraph: each doc links its host to the
+      // host of (doc_id + 17) — same arithmetic the oracle replays
+      val edges = d.select(hostIdxCol.as("src"),
+        hostIdxFor(col("doc_id") + 17).as("dst"))
+      val w = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+      val deg = w.groupBy(col("src")).agg(sum(col("wt")).as("deg"))
+      val nodes = edges.select(col("src").as("host")).distinct()
+        .union(edges.select(col("dst"))).distinct()
+      var rank = nodes.withColumn("r", lit(R0))
+      (1 to 3).foreach { _ =>
+        val contrib = w.join(deg, Seq("src"))
+          .join(rank.withColumnRenamed("host", "src"), Seq("src"))
+          .select(col("dst").as("host"),
+            expr("(r * wt) div deg").as("c"))
+          .groupBy(col("host")).agg(sum(col("c")).as("s"))
+        rank = nodes.join(contrib, Seq("host"), "left")
+          .select(col("host"),
+            expr(s"(15 * ${R0}L + 85 * coalesce(s, 0L)) div 100").as("r"))
+      }
+      rank.select(concat(lit("h"), col("host"), lit(".example.org")).as("host"),
+          col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("host"))
+    }),
+
     // lineage over the extraction output, keyed on an md5-based pid so
     // DuckDB can recompute the per-partition digests exactly
     "x_lineage" -> ((s, dir) =>
@@ -382,6 +428,37 @@ object Extraction {
          |SELECT lower(regexp_replace(url, '[?#].*$$', '')) AS url_canon,
          |  count(*) AS n_crawls, max(ts_s) AS latest_ts_s
          |FROM a GROUP BY 1 ORDER BY url_canon""".stripMargin,
+
+    "x_host_rank" -> {
+      // 3 unrolled PageRank iterations, same integer arithmetic as the
+      // Spark loop — bit-exact by construction
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (
+           |  -- DuckDB sum(BIGINT) widens to HUGEINT; cast back so the
+           |  -- output schema matches Spark's long
+           |  SELECT w.dst AS host,
+           |    CAST(sum((r.r * w.wt) // d.deg) AS BIGINT) AS s
+           |  FROM w JOIN deg d ON w.src = d.src
+           |  JOIN $prev r ON w.src = r.host GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.host,
+           |    CAST((15 * 1000000000000 + 85 * coalesce(c$i.s, 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i ON n.host = c$i.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT ${hostIdxSqlFor("doc_id")} AS src,
+         |    ${hostIdxSqlFor("doc_id+17")} AS dst
+         |  FROM documents),
+         |w AS (SELECT src, dst, count(*) AS wt FROM e GROUP BY 1,2),
+         |deg AS (SELECT src, sum(wt) AS deg FROM w GROUP BY 1),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT 'h' || host || '.example.org' AS host, r AS rank_e12
+         |FROM r3 ORDER BY rank_e12 DESC, host""".stripMargin
+    },
 
     "x_hosts_salted" ->
       s"""SELECT $hostSql AS host, count(*) AS n_docs,
