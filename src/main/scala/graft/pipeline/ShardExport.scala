@@ -24,9 +24,13 @@ object ShardExport {
 
   /** Curate `documents` in sfDir and write shards under `$outDir/shards`.
     * Returns (docs written, shard partition count).
+    * @param format "parquet" (analytics-friendly, default) or "json" —
+    *               JSON Lines, the layout training loaders stream; same
+    *               partitioned directory tree either way
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          writersPerShard: Int = 4, maxRecordsPerFile: Long = 0L): (Long, Long) = {
+          writersPerShard: Int = 4, maxRecordsPerFile: Long = 0L,
+          format: String = "parquet"): (Long, Long) = {
     val curated = Curation.defs("c_curate")(spark, sfDir) // doc_id, split, shard
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
@@ -43,11 +47,13 @@ object ShardExport {
     out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "shard")
-      .parquet(s"$outDir/shards")
-    val written = shards(spark, outDir)
+      .format(format)
+      .save(s"$outDir/shards")
+    val written = shards(spark, outDir, format)
     (written.count(), written.select("split", "shard").distinct().count())
   }
 
-  def shards(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/shards")
+  def shards(spark: SparkSession, outDir: String,
+             format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(s"$outDir/shards")
 }

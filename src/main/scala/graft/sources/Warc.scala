@@ -220,7 +220,7 @@ object Warc {
     -1
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     // multi-member stream (one member per record): GZIPInputStream
     // consumes members back-to-back
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 64 * 1024)

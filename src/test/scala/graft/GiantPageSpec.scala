@@ -44,6 +44,28 @@ class GiantPageSpec extends AnyFunSuite {
     assert(doc.spans.head.start > 10L * 1024 * 1024)
   }
 
+  test("10 MB page survives the gzipped WARC container byte-exactly") {
+    // giant record through the full container path: serialize → one gzip
+    // member → tolerant parse → identical bytes (content-length framing
+    // must hold at multi-MB body sizes, and the multi-member gunzip must
+    // not truncate a large member)
+    val text = bigText(2000000)
+    val html = PageHtml.build(424242L, text, "en", variant = 1).getBytes("UTF-8")
+    val small = PageHtml.build(7L, "tiny page body here", "de").getBytes("UTF-8")
+    val rec = graft.sources.WarcTestAccess.record(
+      "https://h0.example.org/doc/giant", 1767225600000L, "en", html)
+    val rec2 = graft.sources.WarcTestAccess.record(
+      "https://h0.example.org/doc/small", 1767225601000L, "de", small)
+    val bos = new java.io.ByteArrayOutputStream(rec.length / 2)
+    val g1 = new java.util.zip.GZIPOutputStream(bos); g1.write(rec); g1.finish()
+    val g2 = new java.util.zip.GZIPOutputStream(bos); g2.write(rec2); g2.finish()
+    val docs = graft.sources.WarcTestAccess.parseGz(bos.toByteArray)
+    assert(docs.map(_.url) ==
+      Seq("https://h0.example.org/doc/giant", "https://h0.example.org/doc/small"))
+    assert(java.util.Arrays.equals(docs.head.html, html), "giant body drifted")
+    assert(docs.head.lang == "en" && docs(1).lang == "de")
+  }
+
   test("10 MB of garbage bytes never throws (tolerant-decode contract)") {
     val raw = PageHtml.garbageBytes(7L, 10 * 1024 * 1024)
     val r = Extractor.extract("https://x/giant-garbage", raw, "en")

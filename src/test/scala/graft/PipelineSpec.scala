@@ -147,6 +147,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(filesPerDir.max <= 4, s"files per dir must be capped at writersPerShard: $filesPerDir")
   }
 
+  test("JSONL shard export: same manifest counts, line-parseable files") {
+    val out = freshDir("shards-jsonl")
+    val (n, parts) = pipeline.ShardExport.run(spark, sfDir, out, format = "json")
+    val stats = graft.queries.Curation.defs("c_shard_stats")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(n == stats.values.sum && parts == stats.size)
+    // files are genuine JSON Lines: one object per line, keys present
+    val f = java.nio.file.Files.walk(java.nio.file.Paths.get(out, "shards"))
+      .filter(p => p.toString.endsWith(".json")).findFirst().get()
+    val first = java.nio.file.Files.readAllLines(f).get(0)
+    assert(first.startsWith("{") && first.contains("\"doc_id\"") &&
+      first.contains("\"text\""), first.take(120))
+  }
+
   test("null-url rows are digest-covered and never NPE the lineage agg") {
     import spark.implicits._
     val out = freshDir("nullurl")
