@@ -152,6 +152,20 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // GROUPING SETS: an explicit non-hierarchical combination rollup/cube
+    // can't express — (flag, status) detail plus status-only totals plus
+    // the grand total, one pass (SQL surface; the Dataset API only exposes
+    // the rollup/cube specializations)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // RANGE window frame: per-customer running revenue over a VALUE range
     // (orders in the preceding 30 days incl. current — a range frame is
     // value-bounded, unlike the row-bounded frames elsewhere)
@@ -370,6 +384,13 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_extendedprice),2) AS rev, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice),2) AS rev, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_range_window" ->
