@@ -78,6 +78,26 @@ object Multimodal {
     (w, h, c, sum.toDouble / PayloadLen) // /16 → exact in binary fp
   }
 
+  /** fake "scanned document" codec ("GS" magic + newline-separated line
+    * texts): doc_id%10==5 → undecodable bytes, %10==0 → a scan with zero
+    * recognized lines, else 1 + id%4 lines of one word each
+    */
+  def encodeScan(id: Long): Array[Byte] =
+    if (id % 10 == 5) graft.fixtures.PageHtml.garbageBytes(id, 32)
+    else {
+      val n = if (id % 10 == 0) 0 else (1 + id % 4).toInt
+      ("GS" + (0 until n).map(i => s"w${id}l$i").mkString("\n"))
+        .getBytes("UTF-8")
+    }
+
+  /** decode → Some(line texts) or None on bad magic (never throws) */
+  def decodeScan(b: Array[Byte]): Option[Seq[String]] =
+    if (b == null || b.length < 2 || b(0) != 'G' || b(1) != 'S') None
+    else {
+      val body = new String(b, 2, b.length - 2, "UTF-8")
+      Some(if (body.isEmpty) Nil else body.split('\n').toSeq)
+    }
+
   private def assets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
@@ -139,6 +159,29 @@ object Multimodal {
         .orderBy(col("doc_id"), col("win"))
     }),
 
+    // the reference's OCR operator contract VERBATIM over a binary scan
+    // column (/root/reference/src/ocr_engine.py:51-64): tolerant decode
+    // (None → "" + skip, never throw), empty result → "" (both E5
+    // branches), projection to line texts, " ".join fold — with the
+    // single-word no-separator case (test_ocr_engine.py:114-139) landing
+    // on every doc_id%4==0 scan. Codec stubbed (no OCR runtime offline),
+    // byte plumbing + contract real; the oracle predicts every string.
+    "mm_ocr" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val text = decodeScan(encodeScan(id)) match {
+            case None => ""                           // E1: undecodable
+            case Some(lines) if lines.isEmpty => ""   // E5: empty result
+            case Some(lines) => lines.mkString(" ")   // V2+V3 fold
+          }
+          (id, text)
+        }
+        .toDF("doc_id", "scan_text")
+        .orderBy(col("doc_id"))
+    }),
+
     // frame sampling: every 3rd frame, per-frame byte-sum digest
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -182,6 +225,14 @@ object Multimodal {
          |     FROM generate_series(0, ${AudioWindow - 1}) t(j)) AS BIGINT) AS energy
          |FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) v(w)
          |ORDER BY doc_id, win""".stripMargin,
+    "mm_ocr" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%10 = 5 OR doc_id%10 = 0 THEN ''
+        |       ELSE array_to_string(list_transform(
+        |         generate_series(0, CAST(doc_id%4 AS INT)),
+        |         i -> 'w'||doc_id||'l'||i), ' ')
+        |  END AS scan_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, f AS frame_idx,
          |  CAST((SELECT sum((doc_id*131 + f*17 + j) % 251)
