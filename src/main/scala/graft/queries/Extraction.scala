@@ -240,6 +240,27 @@ object Extraction {
         .orderBy(col("href"))
     }),
 
+    // robots.txt gate — the crawl-politeness decision per url (RFC 9309
+    // User-agent:* groups, longest-prefix match, Allow wins ties). Each
+    // host serves a fixed robots fixture exercising a distinct rule
+    // shape (allow-all, prefix+exception, total block, non-matching
+    // prefix, foreign-agent-only group, unknown directives+comments);
+    // the oracle hand-derives every decision independently of the
+    // parser under test. Pure map-side.
+    "x_robots" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val h = PageHtml.hostIndex(id)
+          val rules = graft.extract.Robots.parse(robotsFor(h))
+          val ok = graft.extract.Robots.allowed(rules, s"/doc/$id")
+          (id, s"h$h.example.org", if (ok) 1 else 0, rules.crawlDelay.getOrElse(0))
+        }
+        .toDF("doc_id", "host", "allowed", "crawl_delay")
+        .orderBy(col("doc_id"))
+    }),
+
     // host-graph PageRank — the iterative web-graph signal (host rank
     // feeds crawl prioritization and quality weighting). All arithmetic
     // is INTEGER (ranks scaled by 10^12, damping as (15·R0 + 85·Σ)/100
@@ -306,6 +327,18 @@ object Extraction {
     val html = PageHtml.build(id, text, "de", withPayload = true, variant = v)
     val idx = html.indexOf("base64,") + "base64,".length
     idx - 2 * id.toString.length - "de".length - (text.length + 7)
+  }
+
+  /** per-host robots.txt fixtures — each host exercises one rule shape */
+  private[queries] def robotsFor(h: Int): String = h match {
+    case 0 => "User-agent: *\nCrawl-delay: 1\n"
+    case 1 => "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"
+    case 2 => "User-agent: *\nDisallow: /\n"
+    case 3 => "# private areas only\nUser-agent: *\nDisallow: /private/\n"
+    case 4 => "User-agent: evilbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /doc/\nCrawl-delay: 5\n"
+    case 5 => "User-agent: evilbot\nDisallow: /\n"
+    case _ => "User-agent: *\nUnknown-directive: x\n# note\nDisallow: /doc/1\n"
   }
 
   /** Per-variant anchor href lists, probed from the REAL page builder by
@@ -428,6 +461,28 @@ object Extraction {
          |SELECT lower(regexp_replace(url, '[?#].*$$', '')) AS url_canon,
          |  count(*) AS n_crawls, max(ts_s) AS latest_ts_s
          |FROM a GROUP BY 1 ORDER BY url_canon""".stripMargin,
+
+    // decisions hand-derived per host rule shape, independent of the
+    // parser: h1 = blocked under /doc/ except the /doc/2 Allow exception
+    // (longer prefix wins); h6 = blocked only under /doc/1; h4's star
+    // group blocks /doc/ with delay 5 (the evilbot group must not leak);
+    // h5 has no star group at all → allow-all
+    "x_robots" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $hostSql AS host,
+         |    ${hostIdxSqlFor("doc_id")} AS hi,
+         |    CAST(doc_id AS VARCHAR) AS ids
+         |  FROM documents)
+         |SELECT doc_id, host,
+         |  CASE hi WHEN 0 THEN 1
+         |    WHEN 1 THEN CASE WHEN ids LIKE '2%' THEN 1 ELSE 0 END
+         |    WHEN 2 THEN 0
+         |    WHEN 3 THEN 1
+         |    WHEN 4 THEN 0
+         |    WHEN 5 THEN 1
+         |    ELSE CASE WHEN ids LIKE '1%' THEN 0 ELSE 1 END END AS allowed,
+         |  CASE hi WHEN 0 THEN 1 WHEN 4 THEN 5 ELSE 0 END AS crawl_delay
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "x_host_rank" -> {
       // 3 unrolled PageRank iterations, same integer arithmetic as the
