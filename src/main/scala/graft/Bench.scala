@@ -28,7 +28,9 @@ object Bench {
     "t_winnow", "c_split", "c_curate", "c_shard_stats",
     "mm_image_meta", "mm_audio_energy",
     "d_paragraph", "d_bloom_incremental", "d_url_latest", "t_pii",
-    "x_links", "x_link_graph")
+    "x_links", "x_link_graph",
+    "d_ngram_spans", "t_model_score", "c_sample", "c_pack",
+    "c_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

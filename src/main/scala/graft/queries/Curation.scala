@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the composition layer a training-data
@@ -80,6 +81,71 @@ object Curation {
         .groupBy(col("split"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"), col("shard"))
+    }),
+
+    // stratified downsampling to a balanced language mixture: each lang
+    // stratum keeps docs at rate min_lang_count / stratum_count via a
+    // deterministic salted-hash Bernoulli draw (hash % n < m), so the
+    // sample is reproducible and a rerun never swaps documents in or
+    // out. The per-stratum stats table is #strata rows — broadcast by
+    // construction; the draw itself is a pure map-side filter, so the
+    // whole operator is one tiny agg + one narrow pass over the corpus.
+    "c_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val floorN = stats.agg(min(col("n")).as("mn"))
+      d.join(broadcast(stats), "lang")
+        .crossJoin(broadcast(floorN))
+        .where(pmod(fp60(concat(lit("sample:"), col("doc_id").cast("string"))),
+          col("n")) < col("mn"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // concatenate-then-chunk sequence packing: within each shard, docs
+    // (in stable doc_id order) are laid out as one token stream and cut
+    // into 512-token training sequences; each doc reports its stream
+    // offset and the first/last sequence it lands in. The running sum is
+    // windowed per shard, so the sort is shard-local and shards pack in
+    // parallel — at 10^12 docs the parallelism is #shards, which a real
+    // export sets ≫ #executors (here 8 for the oracle's sake).
+    "c_pack" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        shardCol(col("doc_id")).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          (col("cum") - col("n_tok")).as("tok_offset"),
+          expr("(cum - n_tok) div 512").as("first_seq"),
+          expr("(cum - 1) div 512").as("last_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: any training doc sharing an 8-word
+    // n-gram with the held-out eval suite (here: doc_id % 41 == 3 plays
+    // the benchmark) is flagged. Eval suites are small by nature, so
+    // their distinct gram-hash set is explicitly broadcast; the corpus
+    // side is a narrow explode → semi-join → distinct — no shuffle of
+    // document text, only 8-byte gram hashes.
+    "c_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = split(col("text"), " ")
+      val grams = d.where(size(ws) >= 8).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(ws) - 7),
+          i => fp60(array_join(slice(ws, i, lit(8)), " ")))).as("gh"))
+      val evalGrams = grams.where(col("doc_id") % 41 === 3)
+        .select(col("gh")).distinct()
+      val contaminated = grams.where(col("doc_id") % 41 =!= 3)
+        .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      d.where(col("doc_id") % 41 =!= 3)
+        .join(contaminated.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
     }))
 
   private val fp60Duck = (k: String) => s"('0x'||substr(md5($k),1,15))::BIGINT"
@@ -121,5 +187,39 @@ object Curation {
          |  FROM good GROUP BY text)
          |SELECT $splitDuck AS split, CAST($shardDuck AS BIGINT) AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM canon GROUP BY 1, 2 ORDER BY split, shard""".stripMargin)
+         |FROM canon GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
+
+    "c_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang), m
+         |WHERE ${fp60Duck("'sample:'||d.doc_id")} % c.n < m.mn
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "c_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $shardDuck AS shard,
+         |    len(string_split(text, ' ')) AS n_tok FROM documents),
+         |w AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM base)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+         |  CAST(cum - n_tok AS BIGINT) AS tok_offset,
+         |  CAST((cum - n_tok) // 512 AS BIGINT) AS first_seq,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "c_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    ${fp60Duck("array_to_string(w[i:i+7], ' ')")} AS gh
+         |  FROM toks, UNNEST(CASE WHEN len(w) >= 8
+         |    THEN range(1, len(w) - 6) ELSE [] END) AS t(i)),
+         |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 41 = 3),
+         |contam AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gh)
+         |  WHERE g.doc_id % 41 <> 3)
+         |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 41 <> 3 ORDER BY d.doc_id""".stripMargin)
 }

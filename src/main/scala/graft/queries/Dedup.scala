@@ -16,6 +16,10 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** 60-bit md5 fingerprint of a key — bit-identical in DuckDB */
+  private def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** distinct 3-word shingles per doc */
   private def shingles(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -438,6 +442,45 @@ object Dedup {
           coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
           coalesce(col("dedup_text"), lit("")).as("dedup_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // duplicated-n-gram SPAN removal (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better", §4 ExactSubstr, at the
+    // token-n-gram granularity RefinedWeb ships): any 8-gram occurring in
+    // more than one document marks its 8 token positions for removal in
+    // EVERY document containing it; the surviving tokens are reassembled
+    // in order. Shuffle ledger: gram hashes (8 bytes) to count distinct
+    // docs, (doc_id, idx) ints for coverage — document text itself never
+    // crosses the wire until the final per-doc reassembly groupBy, which
+    // is keyed on doc_id and carries only kept tokens.
+    "d_ngram_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = split(col("text"), " ")
+      val toks = d.select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+      val grams = d.where(size(ws) >= 8).select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(ws) - 7),
+          i => fp60(array_join(slice(ws, i, lit(8)), " ")))).as(Seq("i0", "gh")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("gh"))
+      val dupGrams = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select(col("gh"))
+      val covered = grams.join(dupGrams, Seq("gh"), "left_semi")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("idx"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      val agg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"))
+          .as("clean_text"))
+      d.select(col("doc_id"), size(ws).cast("long").as("n_toks"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     }))
 
   /** planted repeated lead paragraph (exactly 10 words = one chunk) */
@@ -631,6 +674,34 @@ object Dedup {
         |    AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "d_embed_dups" -> embedDupsSqlDuck,
+
+    "d_ngram_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i AS idx, w[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+        |  FROM toks, UNNEST(CASE WHEN len(w) >= 8
+        |    THEN range(1, len(w) - 6) ELSE [] END) AS t(i)),
+        |dup AS (SELECT gh FROM grams GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |covered AS (
+        |  SELECT DISTINCT g.doc_id, g.i + o AS idx
+        |  FROM grams g JOIN dup USING (gh), UNNEST(range(0, 8)) AS t(o)),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok FROM tok t LEFT JOIN covered c
+        |  ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.idx IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+        |  len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // identical output contract: hyperplane LSH must recover every pair
     "d_embed_lsh" -> embedDupsSqlDuck)
 

@@ -168,6 +168,30 @@ object TextAnalysis {
           regexp_replace(regexp_replace(col("t2"), PhoneRe, "<PHONE>"),
             EmailRe, "<EMAIL>").as("scrubbed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // hashed linear quality model — the fastText-style classifier shape
+    // (DCLM / FineWeb-Edu filtering): tokens hash into 64 feature
+    // buckets, a broadcast weight table scores each, per-doc sum decides
+    // keep/drop. Integer weights keep it bit-exact across engines; the
+    // real-model swap is just a bigger weight table behind the same
+    // broadcast join. Scale shape: narrow explode → 8-byte bucket ids →
+    // broadcast join (weights are KBs even for 10^6 buckets) → partial
+    // agg on doc_id.
+    "t_model_score" -> ((s, dir) => {
+      val weights = s.range(0, 64).select(col("id").as("j"),
+        (pmod(col("id") * 2654435761L, lit(17L)) - 8).as("w"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), pmod(
+          conv(substring(md5(concat(lit("w:"), col("tok"))), 1, 15), 16, 10)
+            .cast("long"), lit(64L)).as("j"))
+        .join(broadcast(weights), "j")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tok"))
+        .select(col("doc_id"), col("score"), col("n_tok"),
+          (col("score") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Java-regex ∩ RE2 (DuckDB) common subset — no backrefs/lookarounds. */
@@ -278,5 +302,18 @@ object TextAnalysis {
          |  len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
          |  regexp_replace(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g'),
          |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed
-         |FROM p ORDER BY doc_id""".stripMargin)
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t_model_score" ->
+      """WITH wt AS (
+        |  SELECT j, (j * 2654435761) % 17 - 8 AS w FROM range(0, 64) t(j)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x'||substr(md5('w:'||tok), 1, 15))::BIGINT % 64 AS j FROM tok),
+        |sc AS (SELECT h.doc_id, CAST(sum(wt.w) AS BIGINT) AS score,
+        |    count(*) AS n_tok
+        |  FROM h JOIN wt USING (j) GROUP BY h.doc_id)
+        |SELECT doc_id, score, n_tok, (score >= 0) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }

@@ -32,6 +32,20 @@ object ScalingBench {
       s
     }
 
+    // self-stage when pointed at a dir that doesn't exist yet: amplified
+    // page corpus at 256 partitions (fine-grained enough that every
+    // parallelism level schedules >= 16 waves — tail imbalance stays
+    // small relative to total, which matters for the paired ratio)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS"))) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "2048").toInt
+      val s = sessionFor(32)
+      graft.fixtures.Corpus.pagesAmplified(s, sfDir, amplify)
+        .repartition(256)
+        .write.mode("overwrite").parquet(staged)
+      s.stop()
+    }
+
     def bestOf(spark: SparkSession, n: Int): Double = {
       def run(): Double = {
         val pages = spark.read.parquet(staged)

@@ -244,4 +244,102 @@ class QueriesSpec extends AnyFunSuite {
     val top = hosts.head.getLong(1)
     assert(top * 3 > total, "top host must dominate (skew)")
   }
+
+  test("ngram-span dedup: exact-dup docs fully dropped, unique docs untouched, token ledger balances") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.defs("d_ngram_spans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == docs.keySet)
+    val textCounts = docs.values.groupBy(identity).map { case (t, v) => t -> v.size }
+    out.foreach { case (id, (nKept, nDropped, clean)) =>
+      val toks = docs(id).split(" ", -1)
+      assert(nKept + nDropped == toks.length, s"doc $id ledger")
+      // a doc with an identical twin of >= 8 words shares every 8-gram
+      if (toks.length >= 8 && textCounts(docs(id)) > 1)
+        assert(nKept == 0L && clean.isEmpty, s"exact-dup doc $id must drop fully")
+    }
+    assert(out.exists(_._2._1 == 0L), "planted exact dups must drop fully")
+    assert(out.exists { case (_, (_, d, _)) => d == 0L }, "some doc must be untouched")
+    // kept tokens are a subsequence rendered in order
+    out.foreach { case (id, (nKept, _, clean)) =>
+      if (nKept > 0) assert(clean.split(" ", -1).length == nKept, s"doc $id reassembly")
+    }
+  }
+
+  test("stratified sample: deterministic, every lang stratum survives, skew flattened") {
+    val d = graft.queries.Curation.defs("c_sample")(spark, sfDir)
+    val a = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = graft.queries.Curation.defs("c_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet == b.toSet, "hash-Bernoulli sample must be reproducible")
+    val orig = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    assert(kept.keySet == orig.keySet, "every stratum must survive")
+    kept.foreach { case (l, k) => assert(k <= orig(l), s"stratum $l grew") }
+    assert(a.length < orig.values.sum, "skewed strata must be downsampled")
+  }
+
+  test("sequence packing: offsets are contiguous per shard and chunk math is consistent") {
+    val rows = graft.queries.Curation.defs("c_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._2).foreach { case (shard, ds) =>
+      val sorted = ds.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expectedOff, (id, _, nTok, off, fs, ls)) =>
+        assert(off == expectedOff, s"shard $shard doc $id offset gap")
+        assert(fs == off / 512, s"doc $id first_seq")
+        assert(ls == (off + nTok - 1) / 512, s"doc $id last_seq")
+        off + nTok
+      }
+    }
+    assert(rows.exists(r => r._5 != r._6), "some doc must span a sequence boundary")
+  }
+
+  test("decontamination flags every >=8-word exact dup of an eval doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evalTexts = docs.collect {
+      case (id, t) if id % 41 == 3 && t.split(" ", -1).length >= 8 => t
+    }.toSet
+    val flagged = graft.queries.Curation.defs("c_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged.keySet == docs.collect {
+      case (id, _) if id % 41 != 3 => id
+    }.toSet, "output must cover exactly the training docs")
+    docs.foreach { case (id, t) =>
+      if (id % 41 != 3 && evalTexts.contains(t))
+        assert(flagged(id), s"doc $id is an exact eval dup and must be flagged")
+    }
+  }
+
+  test("model score: per-doc score equals a from-scratch Scala recomputation") {
+    def fp60(sIn: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sIn.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val score = toks.map { t =>
+          val j = fp60("w:" + t) % 64
+          (j * 2654435761L) % 17 - 8
+        }.sum
+        r.getLong(0) -> ((score, toks.length.toLong))
+      }.toMap
+    val got = graft.queries.TextAnalysis.defs("t_model_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (sc, n, keep)) =>
+      assert((sc, n) == expected(id), s"doc $id score/token mismatch")
+      assert(keep == (sc >= 0), s"doc $id keep flag")
+    }
+  }
 }
