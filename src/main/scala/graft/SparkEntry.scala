@@ -37,7 +37,8 @@ object SparkEntry {
       "st_session_window" -> ((s, dir) =>
         StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")),
       "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")),
-      "st_enrich" -> ((s, dir) => StreamingExtract.enrichStream(s, dir, "st_enrich_sink")))
+      "st_enrich" -> ((s, dir) => StreamingExtract.enrichStream(s, dir, "st_enrich_sink")),
+      "st_extract" -> ((s, dir) => StreamingExtract.extractStream(s, dir)))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -50,6 +51,9 @@ object SparkEntry {
       // streaming results must equal their batch forms
       "st_events_windowed" -> Relational.oracles("q_events_windowed"),
       "st_sessions" -> Relational.oracles("q_events_sessions"),
+      // streaming extraction through a durable sink = the batch
+      // extraction, byte-for-byte per doc
+      "st_extract" -> Extraction.oracles("x_extract"),
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
       // stream-static enrichment = the plain batch join

@@ -82,6 +82,34 @@ object StreamingExtract {
     q.awaitTermination()
   }
 
+  /** The north-star extraction path end-to-end under Structured
+    * Streaming with a durable (parquet) sink + checkpoint — the
+    * continuous-crawl ingestion shape: pages arrive as files, each
+    * micro-batch runs the same `extract_content` expression, output
+    * lands in the sink exactly once per record (file-source + checkpoint
+    * offsets). The query surface returns the ok-rows keyed back to
+    * doc_id so the BATCH x_extract oracle pins streaming output
+    * byte-for-byte — parity between the two execution modes is the
+    * claim, per record, not just row counts.
+    */
+  def extractStream(spark: SparkSession, dir: String): DataFrame = {
+    val pages = graft.fixtures.Corpus.pages(spark, dir)
+    val work = java.nio.file.Files.createTempDirectory("graft-st-extract")
+    val in = work.resolve("in").toString
+    val out = work.resolve("out").toString
+    val cp = work.resolve("cp").toString
+    pages.write.mode("overwrite").parquet(in)
+    runFileStream(spark, in, out, cp)
+    // localCheckpoint materializes the sink rows before the staged
+    // dirs are deleted (same no-leak contract as withStagedDir)
+    val sunk = spark.read.parquet(out).localCheckpoint(true)
+    deleteRec(work)
+    sunk.where(col("error").isNull)
+      .join(pages.select(col("doc_id"), col("url")), Seq("url"))
+      .select(col("doc_id"), col("extracted_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming tumbling-window aggregation over the events table into an
     * in-memory sink; complete mode so the result equals the batch query
     * (q_events_windowed oracle).

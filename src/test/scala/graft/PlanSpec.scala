@@ -143,6 +143,52 @@ class PlanSpec extends AnyFunSuite {
       s"first-occurrence agg must have a map-side partial phase:\n$plan")
   }
 
+  test("d_ngram_spans: shuffle keys are gram hashes / doc ids, never the text") {
+    val plan = graft.queries.Dedup.defs("d_ngram_spans")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("tok#") || l.contains("clean_text")))
+    assert(!badExchange, s"text must never be a shuffle key:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"dup-gram count must have a map-side partial phase:\n$plan")
+  }
+
+  test("c_sample: stats broadcast, the Bernoulli draw never shuffles the corpus") {
+    val plan = graft.queries.Curation.defs("c_sample")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum stats must broadcast:\n$plan")
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+    assert(!badExchange, s"corpus rows must not hash-shuffle for the draw:\n$plan")
+  }
+
+  test("c_decontaminate: eval gram set broadcasts into a semi-join") {
+    val plan = graft.queries.Curation.defs("c_decontaminate")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"contamination probe must be a broadcast semi-join:\n$plan")
+  }
+
+  test("c_pack: one shard-keyed window, text never shuffles") {
+    val plan = graft.queries.Curation.defs("c_pack")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("Window"), s"expected the per-shard prefix sum:\n$plan")
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, s"text must not be a shuffle key:\n$plan")
+  }
+
+  test("t_model_score: weight table broadcasts, scoring agg is partial") {
+    val plan = graft.queries.TextAnalysis.defs("t_model_score")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model weights must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"per-doc scoring must have a map-side partial phase:\n$plan")
+  }
+
   test("bloom probe prunes map-side before the hash join (no broadcast dependence)") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
