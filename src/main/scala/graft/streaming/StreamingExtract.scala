@@ -70,6 +70,19 @@ object StreamingExtract {
     * after all available input is processed (AvailableNow).
     */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
+    runFileStreamWithMetrics(spark, inDir, outDir, checkpoint, None); ()
+  }
+
+  /** runFileStream + per-micro-batch observability — op C6's analog for
+    * the streaming path (the batch job publishes listener/accumulator
+    * metrics via `pipeline.Metrics`): one JSON line per non-empty
+    * micro-batch (batchId, input rows, trigger wall ms) taken from the
+    * engine's own progress feed (`StreamingQuery.recentProgress`, the
+    * same source the StreamingQueryListener would see, but synchronous
+    * after termination), optionally persisted for an external monitor.
+    */
+  def runFileStreamWithMetrics(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, metricsPath: Option[String]): Seq[String] = {
     GraftFunctions.register(spark)
     val pages = spark.readStream.schema(pageSchema).parquet(inDir)
     val out = extractTransform(pages)
@@ -80,6 +93,16 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val lines = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      val ms = p.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(-1L))
+      s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
+        s""""triggerExecutionMs":$ms}"""
+    }
+    metricsPath.foreach { mp =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(mp),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    lines
   }
 
   /** The north-star extraction path end-to-end under Structured

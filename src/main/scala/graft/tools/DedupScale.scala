@@ -17,7 +17,7 @@ object DedupScale {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scales = (if (args.length > 1) args(1) else "1,4,16").split(",").map(_.toInt)
     val queries = Seq("d_exact_canonical", "d_minhash_lsh", "d_simhash_pairs", "c_curate",
-      "d_paragraph", "d_bloom_incremental")
+      "d_paragraph", "d_bloom_incremental", "d_ngram_spans", "c_decontaminate")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

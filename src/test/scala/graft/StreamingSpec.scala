@@ -46,6 +46,26 @@ class StreamingSpec extends AnyFunSuite {
     pages.unpersist(); out.unpersist()
   }
 
+  test("streaming progress metrics: micro-batch rows sum to the input (C6 streaming analog)") {
+    val inDir = Files.createTempDirectory("graft-stm-in").toString
+    val outDir = Files.createTempDirectory("graft-stm-out").toString + "/docs"
+    val cp = Files.createTempDirectory("graft-stm-cp").toString
+    val metrics = Files.createTempDirectory("graft-stm-m").resolve("progress.jsonl")
+
+    val pages = Corpus.pages(spark, sfDir)
+    pages.write.mode("append").parquet(inDir)
+    val lines = StreamingExtract.runFileStreamWithMetrics(
+      spark, inDir, outDir, cp, Some(metrics.toString))
+    assert(lines.nonEmpty, "a non-empty run must report at least one micro-batch")
+    val rowsRe = """"numInputRows":(\d+)""".r
+    val total = lines.map(l => rowsRe.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(total == pages.count(), s"progress rows must sum to the input (got $total)")
+    assert(lines.forall(_.contains("\"triggerExecutionMs\":")), "each line carries wall ms")
+    // persisted copy matches what the caller got
+    val onDisk = new String(Files.readAllBytes(metrics), "UTF-8").linesIterator.toSeq
+    assert(onDisk == lines, "persisted metrics must equal the returned lines")
+  }
+
   test("source seam is just the source call: same transform over a MemoryStream") {
     // proves SURVEY §2.1 S1's claim executably: swapping the file source
     // for an in-memory streaming source changes ONLY the readStream line —
