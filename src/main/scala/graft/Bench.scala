@@ -14,23 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** headline subset: one per operator family, heaviest shapes */
-  private val headline = Seq(
-    "q01_pricing_summary", "q03_topk_revenue", "q05_region_revenue",
-    "q_window_topk", "q_rollup_revenue", "q_pivot_status", "q_semi_anti",
-    "q_asof_signup", "q_events_sessions", "q_events_windowed",
-    "q_percentiles",
-    "x_extract", "x_hosts_salted", "x_lineage", "x_json_route",
-    "d_exact_canonical", "d_minhash_lsh", "d_incremental",
-    "d_simhash", "d_simhash_pairs",
-    "d_embed_lsh", "s_ann_bruteforce", "s_ann_ivf",
-    "t_quality", "t_tokens", "t_fingerprint",
-    "t_winnow", "c_split", "c_curate", "c_shard_stats",
-    "mm_image_meta", "mm_audio_energy",
-    "d_paragraph", "d_bloom_incremental", "d_url_latest", "t_pii",
-    "x_links", "x_link_graph",
-    "d_ngram_spans", "t_model_score", "c_sample", "c_pack",
-    "c_decontaminate")
+  /** EVERY non-streaming query gets timed (cold + warm) so a regression
+    * can never hide in an unbenched operator; the st_* family is excluded
+    * because each run stages temp dirs + checkpoints (wall time there is
+    * dominated by setup, and parity with batch is the correctness gate).
+    * Sorted for a stable cross-round key order in BENCH_r{N}.json.
+    */
+  private def headline(qs: Map[String, _]): Seq[String] =
+    qs.keys.filterNot(_.startsWith("st_")).toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,7 +86,7 @@ object Bench {
     // BENCH/BASELINE.md), the second (warm) run is the per-query number
     // comparable across rounds, so "queries" carries warm and
     // "queries_cold" the first-run time
-    val results = headline.filter(qs.contains).map { name =>
+    val results = headline(qs).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

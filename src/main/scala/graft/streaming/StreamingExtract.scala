@@ -76,28 +76,56 @@ object StreamingExtract {
   /** runFileStream + per-micro-batch observability — op C6's analog for
     * the streaming path (the batch job publishes listener/accumulator
     * metrics via `pipeline.Metrics`): one JSON line per non-empty
-    * micro-batch (batchId, input rows, trigger wall ms) taken from the
-    * engine's own progress feed (`StreamingQuery.recentProgress`, the
-    * same source the StreamingQueryListener would see, but synchronous
-    * after termination), optionally persisted for an external monitor.
+    * micro-batch (batchId, input rows, trigger wall ms). Events are
+    * collected by a `StreamingQueryListener` APPENDED AS THEY ARRIVE —
+    * `recentProgress` alone retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * entries, so a long run would silently drop its earliest batches.
+    * The listener bus is async, so after termination the tail is merged
+    * from `recentProgress` by batchId (each source covers the other's
+    * gap: the listener has the full history, recentProgress is
+    * synchronously complete for the most recent batches).
     */
   def runFileStreamWithMetrics(spark: SparkSession, inDir: String, outDir: String,
-      checkpoint: String, metricsPath: Option[String]): Seq[String] = {
+      checkpoint: String, metricsPath: Option[String],
+      maxFilesPerTrigger: Option[Int] = None): Seq[String] = {
     GraftFunctions.register(spark)
-    val pages = spark.readStream.schema(pageSchema).parquet(inDir)
-    val out = extractTransform(pages)
-    val q = out.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val lines = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
-      val ms = p.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(-1L))
-      s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
-        s""""triggerExecutionMs":$ms}"""
+    // keyed by (query id, batchId): no dependence on when start() returns
+    // the id, and concurrent queries in the same session never mix
+    val progress =
+      new java.util.concurrent.ConcurrentHashMap[
+        (java.util.UUID, Long), org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progress.put((e.progress.id, e.progress.batchId), e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
+    spark.streams.addListener(listener)
+    val lines =
+      try {
+        val reader = spark.readStream.schema(pageSchema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        val pages = reader.parquet(inDir)
+        val out = extractTransform(pages)
+        val q = out.writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.foreach(p => progress.put((p.id, p.batchId), p))
+        import scala.jdk.CollectionConverters._
+        progress.asScala.collect { case ((id, _), p) if id == q.id => p }.toSeq
+          .filter(_.numInputRows > 0).sortBy(_.batchId).map { p =>
+            val ms = p.durationMs
+              .getOrDefault("triggerExecution", java.lang.Long.valueOf(-1L))
+            s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
+              s""""triggerExecutionMs":$ms}"""
+          }
+      } finally spark.streams.removeListener(listener)
     metricsPath.foreach { mp =>
       java.nio.file.Files.write(java.nio.file.Paths.get(mp),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))

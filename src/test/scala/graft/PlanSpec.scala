@@ -154,6 +154,17 @@ class PlanSpec extends AnyFunSuite {
       s"dup-gram count must have a map-side partial phase:\n$plan")
   }
 
+  test("d_components edges come from the LSH band path: no all-pairs shingle self-join") {
+    val plan = graft.queries.Dedup.componentEdges(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    // the all-pairs baseline shuffles both shingle tables keyed ON the
+    // shingle string; the LSH path shuffles only (band, bh) and id keys
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("shingle#"))
+    assert(!badExchange, s"edge generation must not shingle-self-join:\n$plan")
+    assert(plan.contains("bh#"), s"expected the band-bucket join:\n$plan")
+  }
+
   test("c_sample: stats broadcast, the Bernoulli draw never shuffles the corpus") {
     val plan = graft.queries.Curation.defs("c_sample")(spark, sfDir)
       .queryExecution.sparkPlan.toString

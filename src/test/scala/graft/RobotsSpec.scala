@@ -28,6 +28,46 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(foreignOnly, "/anything"), "no star group = allow all")
   }
 
+  test("RFC 9309 §2.2.3 wildcard matching: * and $ (the RFC's own examples)") {
+    import Robots.matches
+    // /fish* — anything starting with /fish
+    assert(matches("/fish*", "/fish"))
+    assert(matches("/fish*", "/fishheads"))
+    assert(matches("/fish*", "/fish/salmon.html"))
+    assert(!matches("/fish*", "/Fish.asp"), "matching is case-sensitive")
+    // /*.php — any path containing .php
+    assert(matches("/*.php", "/index.php"))
+    assert(matches("/*.php", "/folder/filename.php"))
+    assert(matches("/*.php", "/folder/filename.php?parameters"))
+    assert(!matches("/*.php", "/"))
+    assert(!matches("/*.php", "/windows.PHP"))
+    // /*.php$ — ends with .php
+    assert(matches("/*.php$", "/filename.php"))
+    assert(matches("/*.php$", "/folder/filename.php"))
+    assert(!matches("/*.php$", "/filename.php?parameters"))
+    assert(!matches("/*.php$", "/filename.php5"))
+    // /fish*.php — /fish then anything then .php
+    assert(matches("/fish*.php", "/fish.php"))
+    assert(matches("/fish*.php", "/fishheads/catfish.php?parameters"))
+    assert(!matches("/fish*.php", "/Fish.PHP"))
+    // plain rules are unchanged prefix semantics; /$ matches only the root
+    assert(matches("/doc/", "/doc/123") && !matches("/doc/", "/docs"))
+    assert(matches("/$", "/") && !matches("/$", "/x"))
+  }
+
+  test("wildcard rules participate in most-specific-match with $-anchors") {
+    val r = Robots.parse("User-agent: *\nDisallow: /doc/*\nAllow: /doc/*2$\n")
+    assert(Robots.allowed(r, "/doc/42"), "Allow has more octets where both match")
+    assert(!Robots.allowed(r, "/doc/43"))
+    assert(!Robots.allowed(r, "/doc/42x"), "$ anchor: 42x does not end in 2")
+    val pdf = Robots.parse("User-agent: *\nDisallow: /*.pdf$\n")
+    assert(!Robots.allowed(pdf, "/a/b/report.pdf"))
+    assert(Robots.allowed(pdf, "/a/b/report.pdf.html"))
+    val htm = Robots.parse("User-agent: *\nAllow: /page\nDisallow: /*.htm\n")
+    assert(!Robots.allowed(htm, "/page.htm"), "Disallow /*.htm is more specific (6 > 5)")
+    assert(Robots.allowed(htm, "/page"))
+  }
+
   test("comments, unknown directives, empty Disallow, missing file") {
     val r = Robots.parse(
       "# politeness\nUser-agent: *\nUnknown: x\nDisallow:\nCrawl-delay: 3\n")

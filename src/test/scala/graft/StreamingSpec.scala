@@ -66,6 +66,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(onDisk == lines, "persisted metrics must equal the returned lines")
   }
 
+  test("metrics survive past the recentProgress retention cap (listener path)") {
+    // 8 single-file micro-batches with the engine's progress retention
+    // forced down to 2: recentProgress alone would report only the last
+    // 2 batches; the listener-backed collector must still return all 8
+    // and their rows must sum to the input — the C6 completeness claim.
+    val inDir = Files.createTempDirectory("graft-st-cap-in").toString
+    val outDir = Files.createTempDirectory("graft-st-cap-out").toString + "/docs"
+    val cp = Files.createTempDirectory("graft-st-cap-cp").toString
+    val pages = Corpus.pages(spark, sfDir).where(col("doc_id") < 160)
+    pages.repartition(8).write.mode("overwrite").parquet(inDir)
+    val nFiles = {
+      val s = Files.list(java.nio.file.Paths.get(inDir))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    assert(nFiles == 8)
+    val old = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try {
+      val lines = StreamingExtract.runFileStreamWithMetrics(
+        spark, inDir, outDir, cp, None, maxFilesPerTrigger = Some(1))
+      assert(lines.size == 8,
+        s"every micro-batch must be reported despite the cap (got ${lines.size})")
+      val rowsRe = """"numInputRows":(\d+)""".r
+      val total = lines.map(l => rowsRe.findFirstMatchIn(l).get.group(1).toLong).sum
+      assert(total == pages.count(), s"rows must sum to the input (got $total)")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+    }
+  }
+
   test("source seam is just the source call: same transform over a MemoryStream") {
     // proves SURVEY §2.1 S1's claim executably: swapping the file source
     // for an in-memory streaming source changes ONLY the readStream line —

@@ -50,6 +50,73 @@ class WarcSpec extends AnyFunSuite {
     roundTrip(gzip = false)
   }
 
+  test("gz reader streams member-by-member: 320 MB chunk, peak allocation = one record") {
+    // ~2000 records × ~160 KB inflated ≈ 320 MB — far beyond any sane
+    // per-task buffer. The member-size probe records every inflated
+    // buffer the reader materializes: the BYTE BUDGET assertion is that
+    // the largest single allocation is one record, ~2000× smaller than
+    // the stream it decoded (the old gunzipAll would have allocated the
+    // full 320 MB in one array).
+    val para = "the quick brown fox jumps over the lazy dog " * 64 // ~2.8 KB
+    val html = ("<html><body>" + ("<p>" + para + "</p>") * 56 + "</body></html>")
+      .getBytes(StandardCharsets.UTF_8) // ~160 KB
+    val chunk = new java.io.ByteArrayOutputStream()
+    val recLens = (0 until 2000).map { i =>
+      val rec = graft.sources.WarcTestAccess.record(
+        f"https://big.example/$i%04d", 1767225600000L, "en", html)
+      val g = new java.util.zip.GZIPOutputStream(chunk, 64 * 1024)
+      g.write(rec)
+      g.finish() // one member per record, like the production writer
+      rec.length
+    }
+    var maxMember = 0L
+    var totalInflated = 0L
+    var docs = 0L
+    graft.sources.WarcTestAccess.withMemberProbe(sz => {
+      maxMember = math.max(maxMember, sz); totalInflated += sz
+    }) {
+      val it = graft.sources.WarcTestAccess.memberReader(
+        new java.io.ByteArrayInputStream(chunk.toByteArray))
+      it.foreach { m => docs += graft.sources.WarcTestAccess.parse(m).size }
+    }
+    assert(docs == 2000, s"all records must decode: $docs")
+    assert(totalInflated >= 300L * 1024 * 1024,
+      s"the stream really was ~320 MB inflated: $totalInflated")
+    assert(maxMember <= recLens.max + 1024,
+      s"peak single allocation must be ONE record (${recLens.max}), was $maxMember")
+    assert(maxMember * 500 < totalInflated,
+      s"peak ($maxMember) must be orders of magnitude below the stream ($totalInflated)")
+  }
+
+  test("corrupt gzip member mid-stream: records before it stand, no throw") {
+    val mk = (u: String) => graft.sources.WarcTestAccess.record(
+      u, 1767225600000L, "en", "<p>ok</p>".getBytes)
+    val chunk = new java.io.ByteArrayOutputStream()
+    Seq("https://x.example/a", "https://x.example/b").foreach { u =>
+      val g = new java.util.zip.GZIPOutputStream(chunk)
+      g.write(mk(u)); g.finish()
+    }
+    val good = chunk.toByteArray
+    val corrupted = good ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3) ++ good
+    val docs = graft.sources.WarcTestAccess.parseGz(corrupted)
+    assert(docs.map(_.url) == Seq("https://x.example/a", "https://x.example/b"),
+      "prefix records must survive a mid-stream corrupt member")
+  }
+
+  test("output chunk files are deterministic across writes (plain and gzip)") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-warc-g1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-warc-g2").toString
+    val pages = Corpus.pages(spark, sfDir)
+    Warc.write(spark, pages, d1, numFiles = 2, gzip = true)
+    Warc.write(spark, pages, d2, numFiles = 2, gzip = true)
+    (0 until 2).foreach { i =>
+      val f = f"part-$i%05d.warc.gz"
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, f))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, f))
+      assert(java.util.Arrays.equals(a, b), s"$f bytes differ between runs")
+    }
+  }
+
   test("output chunk files are deterministic across writes") {
     val d1 = java.nio.file.Files.createTempDirectory("graft-warc-a").toString
     val d2 = java.nio.file.Files.createTempDirectory("graft-warc-b").toString

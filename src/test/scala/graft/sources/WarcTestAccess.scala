@@ -5,6 +5,17 @@ object WarcTestAccess {
   def parse(bytes: Array[Byte]): Seq[Warc.WarcDoc] = Warc.parseChunk(bytes).toSeq
   def record(url: String, tsMs: Long, lang: String, html: Array[Byte]): Array[Byte] =
     Warc.recordBytes(url, tsMs, lang, html)
-  def parseGz(gz: Array[Byte]): Seq[Warc.WarcDoc] =
-    Warc.parseChunk(Warc.gunzipAll(gz)).toSeq
+  def parseGz(gz: Array[Byte]): Seq[Warc.WarcDoc] = {
+    val r = new Warc.GzipMemberReader(new java.io.ByteArrayInputStream(gz))
+    try r.flatMap(Warc.parseChunk).toSeq finally r.close()
+  }
+  /** stream members from an InputStream (the reader's scale path) */
+  def memberReader(in: java.io.InputStream): Iterator[Array[Byte]] with AutoCloseable =
+    new Warc.GzipMemberReader(in)
+  /** observe every inflated member size the reader materializes */
+  def withMemberProbe[A](probe: Int => Unit)(f: => A): A = {
+    val old = Warc.memberSizeProbe
+    Warc.memberSizeProbe = probe
+    try f finally Warc.memberSizeProbe = old
+  }
 }
