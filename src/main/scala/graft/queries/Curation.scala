@@ -132,10 +132,14 @@ object Curation {
     // document text, only 8-byte gram hashes.
     "c_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val ws = split(col("text"), " ")
-      val grams = d.where(size(ws) >= 8).select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(ws) - 7),
-          i => fp60(array_join(slice(ws, i, lit(8)), " ")))).as("gh"))
+      // ws is PROJECTED once per row, not an inlined Column: an inlined
+      // split(text) inside the transform lambda re-splits the whole
+      // document per gram index — O(len²) per doc, a hang on multi-MB
+      // documents (caught by tools/SpillProbe's giant-doc case)
+      val dw = d.withColumn("ws", split(col("text"), " "))
+      val grams = dw.where(size(col("ws")) >= 8).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => fp60(array_join(slice(col("ws"), i, lit(8)), " ")))).as("gh"))
       val evalGrams = grams.where(col("doc_id") % 41 === 3)
         .select(col("gh")).distinct()
       val contaminated = grams.where(col("doc_id") % 41 =!= 3)

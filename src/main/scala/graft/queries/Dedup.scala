@@ -484,12 +484,16 @@ object Dedup {
     // is keyed on doc_id and carries only kept tokens.
     "d_ngram_spans" -> ((s, dir) => {
       val d = docs(s, dir)
-      val ws = split(col("text"), " ")
-      val toks = d.select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+      // ws PROJECTED once per row — an inlined split(text) inside the
+      // transform lambda re-splits the whole document per gram index,
+      // O(len²) per doc (a hang on multi-MB documents; caught by
+      // tools/SpillProbe's giant-doc case)
+      val dw = d.withColumn("ws", split(col("text"), " "))
+      val toks = dw.select(col("doc_id"), posexplode(col("ws")).as(Seq("i0", "tok")))
         .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
-      val grams = d.where(size(ws) >= 8).select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(ws) - 7),
-          i => fp60(array_join(slice(ws, i, lit(8)), " ")))).as(Seq("i0", "gh")))
+      val grams = dw.where(size(col("ws")) >= 8).select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => fp60(array_join(slice(col("ws"), i, lit(8)), " ")))).as(Seq("i0", "gh")))
         .select(col("doc_id"), (col("i0") + 1).as("i"), col("gh"))
       val dupGrams = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -503,7 +507,7 @@ object Dedup {
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok)"))
           .as("clean_text"))
-      d.select(col("doc_id"), size(ws).cast("long").as("n_toks"))
+      dw.select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"))
         .join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -16,16 +16,21 @@ import java.util.concurrent.atomic.AtomicLong
   *      DedupScale) PLUS one planted giant document (default 1M words
   *      ≈ 7 MB text → ~100k paragraph structs / 1M token structs in a
   *      single aggregation key — the worst per-doc case);
-  *   2. forces the external sorter to spill deterministically
-  *      (spark.shuffle.spill.numElementsForceSpillThreshold) so the
-  *      spill PATH is exercised, not just configured;
-  *   3. runs both queries to completion under the capped driver heap it
-  *      was launched with, recording memory/disk spill bytes and peak
-  *      execution memory from a SparkListener.
+  *   2. runs both queries to completion under the capped heap it was
+  *      launched with (-Xmx sized so the shuffle/agg working set
+  *      exceeds execution memory), recording memory/disk spill bytes
+  *      and peak execution memory from a SparkListener.
   *
   * Passing = both queries complete (rows match the staged corpus), disk
   * spill observed > 0, and the giant doc's output row is intact. One
-  * JSON line to stdout; recorded in BENCH/ by the round notes.
+  * JSON line to stdout; recorded in BENCH/spillprobe_r4.json:
+  * 160k docs + 1M-word giant under -Xmx1g → 2.6 GB memory-spilled /
+  * 0.6 GB disk-spilled, zero OOM, giant row exact.
+  *
+  * The giant-doc case also caught a real scale bug on first run: an
+  * inlined split(text) Column inside the gram-transform lambda made
+  * d_ngram_spans/c_decontaminate O(len²) per document (fixed by
+  * projecting `ws` once per row).
   *
   * Usage: SpillProbe [sfDir] [amplify] [giantWords] [cpus]
   */
@@ -46,7 +51,7 @@ object SpillProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val amplify = if (args.length > 1) args(1).toInt else 16
+    val amplify = if (args.length > 1) args(1).toInt else 32
     val giantWords = if (args.length > 2) args(2).toInt else 1000000
     val cpus = if (args.length > 3) args(3) else "8"
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -54,9 +59,6 @@ object SpillProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // force the UnsafeExternalSorter to spill after this many rows:
-      // the deterministic way to drive the agg through its spill path
-      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "200000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

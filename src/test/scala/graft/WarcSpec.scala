@@ -40,6 +40,7 @@ class WarcSpec extends AnyFunSuite {
       assert(lang == olang, s"$url: lang header drift")
       assert(status == 200 && mime == "text/html", s"$url: http envelope")
     }
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(dir))
   }
 
   test("gzipped round trip: every non-null page survives byte-exactly") {
@@ -115,6 +116,7 @@ class WarcSpec extends AnyFunSuite {
       val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, f))
       assert(java.util.Arrays.equals(a, b), s"$f bytes differ between runs")
     }
+    Seq(d1, d2).foreach(d => graft.util.Staging.deleteRec(java.nio.file.Paths.get(d)))
   }
 
   test("output chunk files are deterministic across writes") {
@@ -129,6 +131,7 @@ class WarcSpec extends AnyFunSuite {
       val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, f))
       assert(java.util.Arrays.equals(a, b), s"$f bytes differ between runs")
     }
+    Seq(d1, d2).foreach(d => graft.util.Staging.deleteRec(java.nio.file.Paths.get(d)))
   }
 
   test("content-length framing: a body containing 'WARC/1.0' does not split the record") {
