@@ -177,6 +177,32 @@ object Extraction {
         .orderBy(col("url_canon"))
     }),
 
+    // URL filtering (RefinedWeb §G.1 / UT1-blocklist style — the FIRST
+    // gate of a crawl curation pipeline, applied before any content is
+    // fetched or extracted): a domain blocklist plus bad-word URL
+    // matching. Planted deterministically: docs on hosts h5/h6 are
+    // domain-blocked; doc_id%23==5/16 carry a casino-/adult-flavored
+    // path segment. Precedence: domain block > word block > ok. Pure
+    // map-side — at crawl scale the blocklist (UT1 is ~4M domains,
+    // tens of MB) broadcasts; here it is a literal isin for the oracle.
+    "x_url_filter" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+        .withColumn("url", concat(
+          lit("https://h"), hostIdxCol, lit(".example.org/doc/"), col("doc_id"),
+          when(col("doc_id") % 23 === 5, lit("/casino-bonus"))
+            .when(col("doc_id") % 23 === 16, lit("/adult-xxx"))
+            .otherwise(lit(""))))
+      base
+        .withColumn("host", element_at(split(col("url"), "/"), 3))
+        .withColumn("verdict",
+          when(col("host").isin("h5.example.org", "h6.example.org"), "blocked_domain")
+            .when(col("url").contains("casino") || col("url").contains("adult") ||
+              col("url").contains("xxx"), "blocked_word")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("url"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC round trip — the Common-Crawl native container exercised end
     // to end: pages are serialized into gzipped WARC chunk files (one
     // gzip member per record, the real CC layout), read back through the
@@ -530,6 +556,22 @@ object Extraction {
          |SELECT 'h' || host || '.example.org' AS host, r AS rank_e12
          |FROM r3 ORDER BY rank_e12 DESC, host""".stripMargin
     },
+
+    "x_url_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || $hostSql || '/doc/' || doc_id ||
+         |      CASE WHEN doc_id%23 = 5 THEN '/casino-bonus'
+         |           WHEN doc_id%23 = 16 THEN '/adult-xxx'
+         |           ELSE '' END AS url,
+         |    ${hostIdxSqlFor("doc_id")} AS hi
+         |  FROM documents)
+         |SELECT doc_id, url,
+         |  CASE WHEN hi IN (5, 6) THEN 'blocked_domain'
+         |       WHEN url LIKE '%casino%' OR url LIKE '%adult%'
+         |         OR url LIKE '%xxx%' THEN 'blocked_word'
+         |       ELSE 'ok' END AS verdict
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "x_hosts_salted" ->
       s"""SELECT $hostSql AS host, count(*) AS n_docs,

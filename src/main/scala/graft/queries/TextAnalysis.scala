@@ -170,6 +170,45 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules
+    // behind the C4 corpus): docs are chunked into 5-word lines with
+    // deterministically planted defects (missing terminal punctuation on
+    // (doc_id+i)%5==2, a "javascript" token on (doc_id+i)%13==3, a
+    // "lorem ipsum" line appended on doc_id%29==11); the filter keeps
+    // lines that end in terminal punctuation, have >= 3 words, and do
+    // not mention javascript, drops the ENTIRE doc when lorem ipsum
+    // appears anywhere, and marks docs with >= 3 surviving lines as
+    // keepable. Pure map-side (per-row array ops — lines are bounded,
+    // each split once); the oracle replays every plant and rule in SQL.
+    "t_c4_filters" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("l0", expr(
+          "transform(sequence(0, cast(ceil(size(ws)/5.0) as int)-1)," +
+            " i -> concat_ws(' ', slice(ws, i*5+1, 5)))"))
+        .withColumn("l1", expr(
+          "transform(l0, (l, i) -> CASE WHEN (doc_id + i) % 13 = 3" +
+            " THEN concat(l, ' javascript') ELSE l END)"))
+        .withColumn("l2", expr(
+          "transform(l1, (l, i) -> CASE WHEN (doc_id + i) % 5 = 2" +
+            " THEN l ELSE concat(l, '.') END)"))
+        .withColumn("lines", expr(
+          "CASE WHEN doc_id % 29 = 11" +
+            " THEN concat(l2, array('lorem ipsum dolor.')) ELSE l2 END"))
+      d.withColumn("lor", expr("exists(lines, l -> l LIKE '%lorem ipsum%')"))
+        .withColumn("kept", expr(
+          "filter(lines, l -> l LIKE '%.' AND size(split(l, ' ')) >= 3" +
+            " AND l NOT LIKE '%javascript%')"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          when(col("lor"), lit(0L))
+            .otherwise(size(col("kept")).cast("long")).as("n_kept"),
+          (!col("lor") && size(col("kept")) >= 3).as("doc_keep"),
+          when(col("lor"), lit(""))
+            .otherwise(array_join(col("kept"), "\n")).as("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear quality model — the fastText-style classifier shape
     // (DCLM / FineWeb-Edu filtering): tokens hash into 64 feature
     // buckets, a broadcast weight table scores each, per-doc sum decides
@@ -303,6 +342,48 @@ object TextAnalysis {
          |  regexp_replace(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g'),
          |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t_c4_filters" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |li AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, CAST(ceil(len(ws)/5.0) AS BIGINT)-1)) AS i
+        |  FROM toks),
+        |l0 AS (
+        |  SELECT doc_id, i, array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS l
+        |  FROM li),
+        |l1 AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (doc_id+i)%13 = 3 THEN l || ' javascript' ELSE l END AS l
+        |  FROM l0),
+        |l2 AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (doc_id+i)%5 = 2 THEN l ELSE l || '.' END AS l
+        |  FROM l1),
+        |lall AS (
+        |  SELECT doc_id, i, l FROM l2
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 AS i, 'lorem ipsum dolor.' AS l
+        |  FROM documents WHERE doc_id%29 = 11),
+        |flag AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN l LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) AS lor,
+        |    count(*) AS n_lines
+        |  FROM lall GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id, i, l FROM lall
+        |  WHERE l LIKE '%.' AND len(string_split(l,' ')) >= 3
+        |    AND l NOT LIKE '%javascript%'),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(l, chr(10) ORDER BY i) AS kt
+        |  FROM kept GROUP BY 1)
+        |SELECT f.doc_id, f.n_lines,
+        |  CASE WHEN f.lor = 1 THEN 0 ELSE coalesce(a.n_kept, 0) END AS n_kept,
+        |  (f.lor = 0 AND coalesce(a.n_kept, 0) >= 3) AS doc_keep,
+        |  CASE WHEN f.lor = 1 THEN '' ELSE coalesce(a.kt, '') END AS kept_text
+        |FROM flag f LEFT JOIN agg a ON f.doc_id = a.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     "t_model_score" ->
       """WITH wt AS (
