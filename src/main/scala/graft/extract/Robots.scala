@@ -11,10 +11,13 @@ package graft.extract
   * `$` a rule matches any path it covers as a prefix. The most specific
   * match wins (octet length of the rule value, the RFC's longest-match),
   * Allow wins ties, empty Disallow = allow-all, missing file =
-  * allow-all. Percent-encoding normalization is out of scope here (rule
-  * and path are compared as given). Line-tolerant (comments, stray
-  * whitespace, unknown directives ignored) — the same never-throw
-  * discipline as the rest of the extraction kernel.
+  * allow-all. Percent-encodings are normalized on BOTH sides before
+  * matching (RFC 9309 §2.2.2 consistency): escapes of unreserved
+  * characters decode ("%7E" ≡ "~"), other escapes keep their encoding
+  * with uppercased hex ("%2f" ≡ "%2F" but ≠ "/"); escapes never decode
+  * into `*`/`$` metacharacters since those are reserved. Line-tolerant
+  * (comments, stray whitespace, unknown directives ignored) — the same
+  * never-throw discipline as the rest of the extraction kernel.
   */
 object Robots {
 
@@ -57,6 +60,36 @@ object Robots {
     Rules(allows.result(), disallows.result(), delay)
   }
 
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') || (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Percent-encoding normalization (RFC 9309 §2.2.2 / RFC 3986 §6.2.2):
+    * decode escapes of unreserved characters, uppercase the hex of the
+    * rest, pass malformed escapes through literally. Cheap fast-path
+    * when no '%' is present.
+    */
+  private[graft] def normalizePct(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex =
+        if (c == '%' && i + 2 < s.length)
+          (Character.digit(s.charAt(i + 1), 16), Character.digit(s.charAt(i + 2), 16))
+        else (-1, -1)
+      if (hex._1 >= 0 && hex._2 >= 0) {
+        val v = (hex._1 << 4) | hex._2
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Does `rule` (with `*` wildcards and an optional trailing `$`
     * end-anchor, RFC 9309 §2.2.3) match `path`? Unanchored rules match
     * any path they cover as a prefix; a `$` anywhere but the end is a
@@ -89,11 +122,10 @@ object Robots {
     * RFC's longest-match); Allow wins equal-specificity ties
     */
   def allowed(rules: Rules, path: String): Boolean = {
-    val p = if (path == null || path.isEmpty) "/" else path
-    val bestAllow =
-      rules.allows.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
-    val bestDis =
-      rules.disallows.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
-    bestAllow >= bestDis
+    val p = normalizePct(if (path == null || path.isEmpty) "/" else path)
+    def best(rs: Seq[String]): Int =
+      rs.iterator.map(normalizePct)
+        .filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
+    best(rules.allows) >= best(rules.disallows)
   }
 }

@@ -332,19 +332,64 @@ object Dedup {
     // embedding-cosine near-dup pairs over the base ∪ mutated corpus
     // (deterministic +0.01 perturbation, vec_id+100000) — finds exactly
     // the planted (i, i+100000) pairs; cosine >= 0.9 (natural max ~0.51).
-    // All-pairs crossJoin: the EXACT BASELINE only — d_embed_lsh is the
-    // scale path (same output, same oracle), mirroring the
-    // d_jaccard_pairs / d_minhash_lsh pairing.
+    // The EXACT all-pairs BASELINE (d_embed_lsh is the scale path — same
+    // output, same oracle, mirroring d_jaccard_pairs / d_minhash_lsh),
+    // implemented as a distributed BLOCK-NESTED-LOOP join, the classic
+    // exact-kNN shape: vectors hash into B id-blocks, each unordered
+    // block pair is one task group whose members deserialize ONCE and
+    // compare in a tight double-array loop. Still O(n²) compute — that
+    // is the point of a baseline — but no O(n²) pair rows ever
+    // materialize through a join (a naive crossJoin + interpreted
+    // zip_with/aggregate was 42 s at bench scale for the same answer),
+    // and no driver collect: the replicated shuffle is B× the corpus.
     "d_embed_dups" -> ((s, dir) => {
-      val corpus = embedCorpus(s, dir)
-      val a = corpus.select(col("vec_id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
-      val b = corpus.select(col("vec_id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
-      a.crossJoin(b).where(col("a_id") < col("b_id"))
-        .withColumn("cos_r", round(
-          expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (a, x) -> a + x)") /
-            (col("na") * col("nb")), 3))
-        .where(col("cos_r") >= 0.9)
-        .select(col("a_id"), col("b_id"), col("cos_r"))
+      import s.implicits._
+      val B = 16
+      embedCorpus(s, dir)
+        .select(col("vec_id"), col("e"), col("nrm"))
+        .as[(Long, Seq[Double], Double)]
+        .flatMap { case (id, e, n) =>
+          val b = (id % B).toInt
+          val ea = e.toArray
+          // one copy per combo containing this block: (k,b) k<b, (b,b), (b,k) k>b
+          (0 until B).map { k =>
+            (math.min(b, k) * B + math.max(b, k), id, ea, n)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Double], Double)]) =>
+          val ci = key / B
+          val cj = key % B
+          val arr = it.toArray
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < arr.length) {
+            val (_, idA, ea, na) = arr(i)
+            val bA = (idA % B).toInt
+            var j = i + 1
+            while (j < arr.length) {
+              val (_, idB, eb, nb) = arr(j)
+              val bB = (idB % B).toInt
+              // each unordered pair belongs to exactly ONE combo — the
+              // (min,max) of its blocks; skip pairs owned elsewhere
+              if (math.min(bA, bB) == ci && math.max(bA, bB) == cj) {
+                var dot = 0.0
+                var d0 = 0
+                while (d0 < ea.length) { dot += ea(d0) * eb(d0); d0 += 1 }
+                // same HALF_UP-on-decimal semantics as Spark's round():
+                // the oracle compares the rounded value exactly
+                val cosR = BigDecimal(dot / (na * nb))
+                  .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cosR >= 0.9)
+                  res += ((math.min(idA, idB), math.max(idA, idB), cosR))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          res.iterator
+        }
+        .toDF("a_id", "b_id", "cos_r")
         .orderBy(col("a_id"), col("b_id"))
     }),
 

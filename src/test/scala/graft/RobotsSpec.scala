@@ -68,6 +68,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(htm, "/page"))
   }
 
+  test("percent-encoding normalization: unreserved decode, reserved keep uppercase hex") {
+    import Robots.normalizePct
+    assert(normalizePct("/a%7Eb") == "/a~b", "unreserved escapes decode")
+    assert(normalizePct("/a%7eb") == "/a~b", "hex case-insensitive")
+    assert(normalizePct("/a%2fb") == "/a%2Fb", "reserved escapes keep encoding, hex uppercased")
+    assert(normalizePct("/a%xyb") == "/a%xyb", "malformed escape passes through")
+    assert(normalizePct("/a%2A") == "/a%2A", "escapes never decode into * metachar")
+    val r = Robots.parse("User-agent: *\nDisallow: /tmp%7E/\n")
+    assert(!Robots.allowed(r, "/tmp~/x"), "rule %7E matches literal ~ in path")
+    assert(!Robots.allowed(r, "/tmp%7e/x"), "and the encoded path form")
+    val slash = Robots.parse("User-agent: *\nDisallow: /a%2Fb\n")
+    assert(Robots.allowed(slash, "/a/b"), "%2F stays distinct from a literal /")
+    assert(!Robots.allowed(slash, "/a%2fb"), "but matches its own encoded form")
+  }
+
   test("comments, unknown directives, empty Disallow, missing file") {
     val r = Robots.parse(
       "# politeness\nUser-agent: *\nUnknown: x\nDisallow:\nCrawl-delay: 3\n")
