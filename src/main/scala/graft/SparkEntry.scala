@@ -38,7 +38,8 @@ object SparkEntry {
         StreamingExtract.sessionWindows(s, dir, "st_session_window_sink")),
       "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")),
       "st_enrich" -> ((s, dir) => StreamingExtract.enrichStream(s, dir, "st_enrich_sink")),
-      "st_extract" -> ((s, dir) => StreamingExtract.extractStream(s, dir)))
+      "st_extract" -> ((s, dir) => StreamingExtract.extractStream(s, dir)),
+      "st_warc" -> ((s, dir) => StreamingExtract.warcStream(s, dir, "st_warc_sink")))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -54,6 +55,9 @@ object SparkEntry {
       // streaming extraction through a durable sink = the batch
       // extraction, byte-for-byte per doc
       "st_extract" -> Extraction.oracles("x_extract"),
+      // WARC ingestion through the DSv2 streaming connector = the batch
+      // WARC round trip, byte-for-byte per doc
+      "st_warc" -> Extraction.oracles("x_warc"),
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
       // stream-static enrichment = the plain batch join

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Extraction {
 
+  /** the corpus serialized once as gzipped WARC chunks, content-keyed
+    * staging (shared by x_warc and the st_warc streaming-connector path)
+    */
+  private[graft] def warcStaged(s: SparkSession, dir: String): String =
+    graft.util.Staging.keyedArtifact("warc", dir, PageHtml.CorpusVersion)(p =>
+      java.nio.file.Files.exists(p.resolve("_SUCCESS")))(
+      out => graft.sources.Warc.write(s, Corpus.pages(s, dir), out))
+
   private def extracted(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Corpus.pages(s, dir)
@@ -212,10 +220,7 @@ object Extraction {
     // externally checked byte-for-byte: text, language header, and the
     // second-granularity WARC-Date all survive the container.
     "x_warc" -> ((s, dir) => {
-      val staged = graft.util.Staging.keyedArtifact(
-        "warc", dir, PageHtml.CorpusVersion)(p =>
-        java.nio.file.Files.exists(p.resolve("_SUCCESS")))(
-        out => graft.sources.Warc.write(s, Corpus.pages(s, dir), out))
+      val staged = warcStaged(s, dir)
       GraftFunctions.register(s)
       graft.sources.Warc.read(s, staged)
         .withColumn("r",

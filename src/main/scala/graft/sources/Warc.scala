@@ -395,26 +395,50 @@ object Warc {
   }
 
   /** Stream every response record of one chunk file; peak memory is one
-    * record (gz) or one file (plain .warc — the test-scale path). The
-    * open stream/Inflater are released on exhaustion AND on task
-    * completion (queries with limits may not drain the iterator).
+    * record (gz) or one file (plain .warc — the test-scale path).
+    * Closeable so both consumers — the batch flatMap (closes via task
+    * completion) and the DSv2 streaming PartitionReader (Spark calls
+    * close()) — release the stream/Inflater deterministically; close is
+    * idempotent and also runs on exhaustion.
     */
-  private def recordsIn(pathStr: String): Iterator[WarcDoc] = {
-    val p = new org.apache.hadoop.fs.Path(pathStr)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private[sources] def recordsInFile(pathStr: String):
+      scala.collection.AbstractIterator[WarcDoc] with AutoCloseable =
     try {
+      val p = new org.apache.hadoop.fs.Path(pathStr)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
       if (pathStr.endsWith(".gz")) {
         val reader = new GzipMemberReader(
           new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
-        reader.flatMap(parseChunk)
+        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
+          private val it = reader.flatMap(parseChunk)
+          def hasNext: Boolean = it.hasNext
+          def next(): WarcDoc = it.next()
+          def close(): Unit = reader.close()
+        }
       } else {
         val in = fs.open(p)
         val all = try in.readAllBytes() finally in.close()
-        parseChunk(all)
+        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
+          private val it = parseChunk(all)
+          def hasNext: Boolean = it.hasNext
+          def next(): WarcDoc = it.next()
+          def close(): Unit = ()
+        }
       }
-    } catch { case _: Exception => Iterator.empty } // unreadable file → zero rows
+    } catch {
+      case _: Exception => // unreadable file → zero rows, not a task failure
+        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
+          def hasNext: Boolean = false
+          def next(): WarcDoc = Iterator.empty.next()
+          def close(): Unit = ()
+        }
+    }
+
+  private def recordsIn(pathStr: String): Iterator[WarcDoc] = {
+    val rs = recordsInFile(pathStr)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => rs.close()))
+    rs
   }
 
   /** Read every `*.warc` / `*.warc.gz` chunk under `dir` into the

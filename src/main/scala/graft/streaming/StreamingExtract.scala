@@ -161,6 +161,36 @@ object StreamingExtract {
       .orderBy(col("doc_id"))
   }
 
+  /** The full WARC→extract pipeline through the REAL DSv2 streaming
+    * connector (`format("warc-stream")`, `sources.WarcStreamSource`):
+    * chunk files stream in with serialized offsets + AvailableNow
+    * semantics — the executable form of the Kafka seam — each record
+    * runs the same `extract_content` expression, and the output is keyed
+    * back to doc_id so the BATCH x_warc oracle pins it byte-for-byte.
+    */
+  def warcStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val staged = graft.queries.Extraction.warcStaged(spark, dir)
+    val pages = spark.readStream.format("warc-stream").load(staged)
+    val out = pages
+      .withColumn("r",
+        call_function("extract_content", col("url"), col("html"), col("lang")))
+      .where(col("r.error").isNull)
+      .select(
+        element_at(split(col("url"), "/"), -1).cast("long").as("doc_id"),
+        unix_timestamp(col("warc_ts")).as("warc_epoch_s"),
+        col("lang"),
+        col("r.extracted_text").as("extracted_text"))
+    val q = out.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy(col("doc_id"))
+  }
+
   /** Streaming tumbling-window aggregation over the events table into an
     * in-memory sink; complete mode so the result equals the batch query
     * (q_events_windowed oracle).
