@@ -215,6 +215,7 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("MapPartitions"), s"expected the Bloom prune stage:\n$plan")
       assert(!plan.contains("BroadcastHashJoin"),
         s"probe must not depend on broadcasting the hash table:\n$plan")
+      graft.util.Staging.deleteRec(java.nio.file.Paths.get(idx))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -270,5 +271,6 @@ class PlanSpec extends AnyFunSuite {
       .select(col("url"))
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"), scan)
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(tmp))
   }
 }

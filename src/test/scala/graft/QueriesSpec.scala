@@ -64,6 +64,7 @@ class QueriesSpec extends AnyFunSuite {
     val again = Similarity.queryIndex(spark, sfDir, idx).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(again == got)
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(idx))
   }
 
   test("LSH band-index lifecycle: build, probe the stored artifact, append, probe again") {
@@ -91,6 +92,7 @@ class QueriesSpec extends AnyFunSuite {
     val probed2 = Dedup.probeBandIndex(spark, batch(2), idx)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probed2 == full.filter { case (a, b) => a % 3 == 2 || b % 3 == 2 })
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(idx))
   }
 
   test("every SparkEntry query executes and returns rows (sf0.001)") {
@@ -181,6 +183,7 @@ class QueriesSpec extends AnyFunSuite {
     val novel = d.select((col("doc_id") + 9000L).as("doc_id"),
       concat(col("text"), lit(" zzz novel suffix")).as("text"))
     assert(Dedup.probeExactIndex(spark, novel, idx).count() == 0)
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(idx))
   }
 
   test("paragraph dedup removes exactly the repeated boilerplate/dup paragraphs") {

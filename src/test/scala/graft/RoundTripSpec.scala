@@ -80,5 +80,6 @@ class RoundTripSpec extends AnyFunSuite {
       "ReadSchema: struct<doc_id:bigint,url:string,warc_ts:timestamp,html:binary,text:string"),
       s"scan must not read the full row:\n$scan")
     assert(!scan.matches("(?s).*ReadSchema:[^\\n]*\\btext\\b.*"), s"crawler text column must be pruned:\n$scan")
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(tmp))
   }
 }
