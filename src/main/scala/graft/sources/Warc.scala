@@ -48,6 +48,24 @@ object Warc {
 
   private val CRLF = "\r\n"
 
+  /** Driver-side snapshot of the session's effective Hadoop conf as a
+    * plain serializable map, rebuilt per task: spark.hadoop.* settings
+    * (s3a credentials, endpoints, timeouts) must reach executor-side
+    * FileSystem.get calls or hdfs///s3a// deployments break.
+    * (Spark's SerializableConfiguration is private[spark].)
+    */
+  private[sources] def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private[sources] def confFrom(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** language header real Common-Crawl responses carry (since CC-MAIN-2018-39) */
   private val LangHeader = "WARC-Identified-Content-Language"
 
@@ -132,6 +150,7 @@ object Warc {
             numFiles: Int = 8, gzip: Boolean = true): Unit = {
     import spark.implicits._
     val ext = if (gzip) ".warc.gz" else ".warc"
+    val confMap = hadoopConfMap(spark)
     pages
       .select(col("url"), col("warc_ts").cast("timestamp"), col("html"),
         coalesce(col("lang"), lit("")).as("lang"))
@@ -143,7 +162,7 @@ object Warc {
         val tc = org.apache.spark.TaskContext.get()
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = if (tc == null) 0L else tc.taskAttemptId()
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confFrom(confMap)
         val dest = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
         // no ".warc" in the temp name: invisible to the reader's filter
         val tmp = new org.apache.hadoop.fs.Path(dir, f"_tmp-part-$pid%05d-$attempt")
@@ -158,14 +177,22 @@ object Warc {
             if (gz != null) gz.end()
             os.close()
           }
-          // commit: first attempt wins; losers drop their temp file
-          if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, false)
+          // commit: overwrite semantics (a re-export to the same dir
+          // replaces the old chunk, as before the temp-file protocol).
+          // Retry-safe because partition bytes are DETERMINISTIC (url
+          // sort + fixed headers): concurrent attempts of one task write
+          // identical files, so delete-then-rename can only ever swap in
+          // equal bytes, never interleave.
+          if (fs.exists(dest)) fs.delete(dest, false)
+          if (!fs.rename(tmp, dest)) {
+            if (fs.exists(dest)) fs.delete(tmp, false) // another attempt won
+            else sys.error(s"commit failed: cannot rename $tmp to $dest")
+          }
           ()
         } catch { case e: Throwable => fs.delete(tmp, false); throw e }
       }
-    val conf = new org.apache.hadoop.conf.Configuration()
     val succ = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    succ.getFileSystem(conf).create(succ, true).close()
+    succ.getFileSystem(spark.sparkContext.hadoopConfiguration).create(succ, true).close()
   }
 
   // ----------------------------------------------------------------- read
@@ -198,6 +225,7 @@ object Warc {
       }
       def hasNext: Boolean = nextDoc != null
       def next(): WarcDoc = {
+        if (nextDoc == null) throw new NoSuchElementException("exhausted WARC chunk")
         val d = nextDoc
         advance()
         d
@@ -401,11 +429,11 @@ object Warc {
     * close()) — release the stream/Inflater deterministically; close is
     * idempotent and also runs on exhaustion.
     */
-  private[sources] def recordsInFile(pathStr: String):
+  private[sources] def recordsInFile(pathStr: String, confMap: Map[String, String]):
       scala.collection.AbstractIterator[WarcDoc] with AutoCloseable =
     try {
       val p = new org.apache.hadoop.fs.Path(pathStr)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(confFrom(confMap))
       if (pathStr.endsWith(".gz")) {
         val reader = new GzipMemberReader(
           new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
@@ -434,8 +462,8 @@ object Warc {
         }
     }
 
-  private def recordsIn(pathStr: String): Iterator[WarcDoc] = {
-    val rs = recordsInFile(pathStr)
+  private def recordsIn(pathStr: String, confMap: Map[String, String]): Iterator[WarcDoc] = {
+    val rs = recordsInFile(pathStr, confMap)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => rs.close()))
     rs
@@ -448,20 +476,19 @@ object Warc {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val files = fs.listStatus(root).toSeq
-      .filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter { f =>
-        val n = f.substring(f.lastIndexOf('/') + 1)
-        (n.endsWith(".warc") || n.endsWith(".warc.gz")) &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }
-      .sorted
-    spark.createDataset(files)
-      .repartition(math.max(files.size, 1)) // one task per chunk file
-      .flatMap(recordsIn _)
+    // same listing/filter as the streaming connector — one shared helper
+    // keeps batch and streaming readers in lockstep (WarcStreamSpec
+    // asserts their parity)
+    val files = WarcStreamSource.listChunks(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val confMap = hadoopConfMap(spark)
+    // parallelize with explicit slices: EXACTLY one chunk file per task
+    // (Dataset.repartition round-robins from a random per-partition
+    // start, which routinely doubles up ~1 GB chunks on one task while
+    // another gets none)
+    spark.createDataset(
+        spark.sparkContext.parallelize(files, math.max(files.size, 1)))
+      .flatMap(recordsIn(_, confMap))
       .toDF()
   }
 }

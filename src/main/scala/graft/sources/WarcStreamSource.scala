@@ -25,14 +25,20 @@ import java.util
   * `format("kafka")` and nothing downstream changes.
   *
   * Semantics: the source watches a directory of `*.warc`/`*.warc.gz`
-  * chunk files (the Common-Crawl layout — names are lexically
-  * increasing as the crawl appends chunks). The streaming Offset is the
-  * highest file name processed; each micro-batch plans one
+  * chunk files under the APPEND-ONLY-BY-NAME contract of a real crawl
+  * store (Common Crawl chunk names are lexically increasing and never
+  * rewritten — the analog of Kafka's monotone per-partition offsets).
+  * The streaming Offset is the highest file name processed PLUS the
+  * count of files at-or-below it; each micro-batch plans one
   * InputPartition per newly-arrived chunk file, and each partition
   * streams records through the member-by-member gzip reader (peak
   * memory one record, as in the batch path). Exactly-once delivery
   * follows from the offset log: a restarted query replans only files
-  * lexically above the committed watermark.
+  * lexically above the committed watermark. A file that violates the
+  * contract — arriving BELOW the committed watermark — cannot be
+  * attributed (processed vs late) from a bounded offset, so the count
+  * invariant detects it and FAILS the query loudly instead of
+  * silently dropping data.
   *
   * Mirrors the reference's continuous Kafka drain
   * (/root/reference/src/kafka_consumer.py:111-134) with chunk files in
@@ -57,11 +63,13 @@ object WarcStreamSource {
     StructField("mime", StringType)))
 
   /** chunk files under `dir`, sorted by full path (names are the offset
-    * axis); same filter as the batch reader
+    * axis); the ONE listing/filter both the batch reader (Warc.read) and
+    * the streaming connector use — they must never diverge
     */
-  private[sources] def listChunks(dir: String): Seq[String] = {
+  private[sources] def listChunks(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq
       .filter(_.isFile)
@@ -73,6 +81,10 @@ object WarcStreamSource {
       }
       .sorted
   }
+
+  /** the session conf at driver-side planning points */
+  private[sources] def driverConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 }
 
 private final class WarcStreamTable(path: String) extends Table with SupportsRead {
@@ -92,27 +104,40 @@ private final class WarcStreamTable(path: String) extends Table with SupportsRea
     }
 }
 
-/** Offset = highest chunk-file path ingested ("" = nothing yet). */
-private final case class WarcOffset(watermark: String) extends Offset {
-  override def json(): String = watermark
+/** Offset = highest chunk-file path ingested + how many files sit at or
+  * below it ("" / 0 = nothing yet). The count detects append-only-
+  * contract violations: a late file below the watermark changes the
+  * count without changing the watermark.
+  */
+private final case class WarcOffset(watermark: String, n: Int) extends Offset {
+  override def json(): String = s"$n|$watermark"
+}
+
+private object WarcOffset {
+  def parse(json: String): WarcOffset = {
+    val cut = json.indexOf('|')
+    WarcOffset(json.substring(cut + 1), json.substring(0, cut).toInt)
+  }
 }
 
 private final class WarcMicroBatchStream(dir: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  private def currentOffset(): WarcOffset = {
+    val fs = WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
+    WarcOffset(fs.lastOption.getOrElse(""), fs.size)
+  }
+
   // AvailableNow: freeze the file horizon at prepare time so the query
   // drains exactly what existed when it started, then stops
-  @volatile private var frozenLatest: Option[String] = None
+  @volatile private var frozenLatest: Option[WarcOffset] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenLatest = Some(WarcStreamSource.listChunks(dir).lastOption.getOrElse(""))
+    frozenLatest = Some(currentOffset())
 
-  override def initialOffset(): Offset = WarcOffset("")
-  override def deserializeOffset(json: String): Offset = WarcOffset(json)
-  override def latestOffset(): Offset = frozenLatest match {
-    case Some(w) => WarcOffset(w)
-    case None => WarcOffset(WarcStreamSource.listChunks(dir).lastOption.getOrElse(""))
-  }
+  override def initialOffset(): Offset = WarcOffset("", 0)
+  override def deserializeOffset(json: String): Offset = WarcOffset.parse(json)
+  override def latestOffset(): Offset = frozenLatest.getOrElse(currentOffset())
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
   // rate limiting — every batch admits all files up to the horizon
   override def latestOffset(start: Offset,
@@ -122,28 +147,40 @@ private final class WarcMicroBatchStream(dir: String)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[WarcOffset].watermark
-    val hi = end.asInstanceOf[WarcOffset].watermark
-    WarcStreamSource.listChunks(dir)
-      .filter(f => f > lo && f <= hi)
-      .map(f => WarcChunkPartition(f): InputPartition)
+    val lo = start.asInstanceOf[WarcOffset]
+    val hi = end.asInstanceOf[WarcOffset]
+    val files = WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
+    val below = files.count(_ <= lo.watermark)
+    if (below != lo.n) throw new IllegalStateException(
+      s"warc-stream contract violation: $below chunk files at or below committed " +
+        s"watermark '${lo.watermark}' but the offset recorded ${lo.n} — a file " +
+        "arrived below the watermark (names must be append-only increasing); " +
+        "failing instead of silently dropping it")
+    val confMap = Warc.hadoopConfMap(org.apache.spark.sql.SparkSession.active)
+    files
+      .filter(f => f > lo.watermark && f <= hi.watermark)
+      .map(f => WarcChunkPartition(f, confMap): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new WarcChunkReader(partition.asInstanceOf[WarcChunkPartition].file)
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[WarcChunkPartition]
+        new WarcChunkReader(p.file, p.confMap)
+      }
     }
 }
 
-private final case class WarcChunkPartition(file: String) extends InputPartition
+private final case class WarcChunkPartition(
+  file: String, confMap: Map[String, String]) extends InputPartition
 
 /** Streams one chunk file's records as InternalRows (one gzip member at
   * a time — the same O(largest record) bound as the batch reader).
   */
-private final class WarcChunkReader(file: String) extends PartitionReader[InternalRow] {
-  private val docs = Warc.recordsInFile(file)
+private final class WarcChunkReader(file: String, confMap: Map[String, String])
+    extends PartitionReader[InternalRow] {
+  private val docs = Warc.recordsInFile(file, confMap)
   private var current: Warc.WarcDoc = _
   override def next(): Boolean =
     if (docs.hasNext) { current = docs.next(); true } else false

@@ -82,9 +82,15 @@ object Staging {
   def deleteRec(d: Path): Unit =
     if (Files.exists(d)) {
       val s = Files.walk(d)
+      // concurrent sweeps race: walk/forEach surface NoSuchFile as
+      // UncheckedIOException (a RuntimeException), not IOException —
+      // best-effort means neither may escape
       try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => () } // raced by a concurrent sweep
+      catch {
+        case _: java.io.IOException => ()
+        case _: java.io.UncheckedIOException => ()
+      }
       finally s.close()
     }
 }

@@ -93,6 +93,33 @@ class WarcStreamSpec extends AnyFunSuite {
     Seq(dir, cp, staged, out).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
   }
 
+  test("append-only contract: a file landing below the watermark fails loudly, not silently") {
+    val dir = Files.createTempDirectory("graft-wstream-late").toString
+    val cp = Files.createTempDirectory("graft-wstream-late-cp").toString
+    val out = Files.createTempDirectory("graft-wstream-late-out").toString + "/docs"
+    Warc.write(spark, Corpus.pages(spark, sfDir), dir, numFiles = 2)
+    val q1 = spark.readStream.format("warc-stream").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    // a chunk arrives BELOW the committed watermark ("aaa" < "part-"):
+    // unattributable from a bounded offset, so the source must fail
+    Files.copy(Paths.get(dir, "part-00000.warc.gz"), Paths.get(dir, "aaa-00000.warc.gz"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("warc-stream").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("contract violation")),
+      s"expected the append-only guard, got: ${messages(ex).mkString(" | ")}")
+    Seq(dir, cp, out).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
+  }
+
   test("kafka-seam composition: connector + extractTransform equals batch extraction") {
     val dir = Files.createTempDirectory("graft-wstream-x").toString
     val cp = Files.createTempDirectory("graft-wstream-x-cp").toString
