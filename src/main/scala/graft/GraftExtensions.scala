@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ExtractContent
+import graft.functions.{ExtractContent, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"extract_content requires exactly 3 arguments (url, html, lang), got ${exprs.length}")
         ExtractContent(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"nfc_normalize requires exactly 1 argument, got ${exprs.length}")
+        NfcNormalize(exprs(0))
       }))
   }
 }

@@ -111,5 +111,9 @@ object GraftFunctions {
       "extract_content",
       (exprs: Seq[Expression]) => ExtractContent(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0)),
+      "scala_udf")
   }
 }

@@ -170,6 +170,31 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization — the canonical-composition pass every
+    // web pipeline runs BEFORE hashing/dedup (CCNet, C4): the same
+    // accent encoded as a combining sequence vs a precomposed char, or
+    // compatibility singletons like U+212B ANGSTROM vs U+00C5 Å,
+    // otherwise defeat byte-equality dedup. Runs through the native
+    // codegen `nfc_normalize` Expression (functions.NfcNormalize — no
+    // UDF); planted denormalized suffixes (combining acute on
+    // doc_id%13==2, the ANGSTROM singleton + an already-NFC ß on %13==7)
+    // make the oracle discriminating: DuckDB's nfc_normalize must
+    // produce byte-identical output and the codepoint delta proves the
+    // combining pairs actually collapsed. Pure map-side.
+    "t_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val planted = docs(s, dir).withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 13 === 2, lit(" café résumé"))
+          .when(col("doc_id") % 13 === 7, lit(" straße Å"))
+          .otherwise(lit(""))))
+      planted.select(col("doc_id"),
+          call_function("nfc_normalize", col("t2")).as("norm_text"),
+          (length(col("t2")) -
+            length(call_function("nfc_normalize", col("t2"))))
+            .cast("long").as("cp_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules
     // behind the C4 corpus): docs are chunked into 5-word lines with
     // deterministically planted defects (missing terminal punctuation on
@@ -342,6 +367,21 @@ object TextAnalysis {
          |  regexp_replace(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g'),
          |    '$EmailRe', '<EMAIL>', 'g') AS scrubbed
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(223) = ß, chr(8491) =
+    // U+212B ANGSTROM — the same planted bytes as the Spark side;
+    // DuckDB's own nfc_normalize is the independent implementation
+    "t_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id%13 = 2
+        |      THEN ' cafe'||chr(769)||' re'||chr(769)||'sume'||chr(769)
+        |         WHEN doc_id%13 = 7 THEN ' stra'||chr(223)||'e '||chr(8491)
+        |         ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t2) AS norm_text,
+        |  CAST(length(t2) - length(nfc_normalize(t2)) AS BIGINT) AS cp_delta
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "t_c4_filters" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

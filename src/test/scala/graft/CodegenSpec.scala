@@ -40,4 +40,36 @@ class CodegenSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("nfc_normalize participates in whole-stage codegen and is correct") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      // through a parquet scan (a LocalTableScan constant-folds the
+      // expression away before any codegen stage exists); inputs are
+      // e + combining acute → é, ANGSTROM singleton → Å, NFC unchanged
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nfc").toString
+      Seq("café", "Å", "already fine").toDF("s")
+        .write.mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp)
+        .select(call_function("nfc_normalize", col("s")).as("n"))
+      assert(df.as[String].collect().toSet ==
+        Set("café", "Å", "already fine"))
+      graft.util.Staging.deleteRec(java.nio.file.Paths.get(tmp))
+      val wsc = df.queryExecution.executedPlan
+        .collect { case w: WholeStageCodegenExec => w }
+      assert(wsc.exists(_.toString.contains("nfc_normalize")),
+        s"nfc_normalize must sit inside the codegen span:\n${df.queryExecution.executedPlan}")
+      // null passthrough
+      assert(Seq[String](null).toDF("s")
+        .select(call_function("nfc_normalize", col("s"))).head().isNullAt(0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
