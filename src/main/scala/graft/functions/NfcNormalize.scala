@@ -12,9 +12,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NfcKernel {
   def nfc(s: UTF8String): UTF8String = {
+    // fast path: pure-ASCII bytes are NFC by definition — the dominant
+    // web-text case returns the input object without materializing a
+    // java String at all
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
     val str = s.toString
-    // fast path: NFC-normalized input (the overwhelming majority of web
-    // text) returns the original object, no allocation
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))

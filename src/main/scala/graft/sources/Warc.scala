@@ -177,22 +177,42 @@ object Warc {
             if (gz != null) gz.end()
             os.close()
           }
-          // commit: overwrite semantics (a re-export to the same dir
-          // replaces the old chunk, as before the temp-file protocol).
-          // Retry-safe because partition bytes are DETERMINISTIC (url
-          // sort + fixed headers): concurrent attempts of one task write
-          // identical files, so delete-then-rename can only ever swap in
-          // equal bytes, never interleave.
-          if (fs.exists(dest)) fs.delete(dest, false)
-          if (!fs.rename(tmp, dest)) {
-            if (fs.exists(dest)) fs.delete(tmp, false) // another attempt won
-            else sys.error(s"commit failed: cannot rename $tmp to $dest")
+          // commit: ATOMIC overwrite rename (FileContext.Rename.OVERWRITE
+          // — atomic on HDFS and posix), so there is never a window with
+          // no dest file: a concurrent reader sees old-or-new complete
+          // bytes, and a speculative attempt killed mid-commit cannot
+          // lose a chunk. Retry-safe because partition bytes are
+          // DETERMINISTIC (url sort + fixed headers): attempts swap in
+          // equal bytes. Schemes without FileContext fall back to
+          // delete+rename (non-atomic, still retry-correct).
+          try {
+            org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+              .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              if (fs.exists(dest)) fs.delete(dest, false)
+              if (!fs.rename(tmp, dest) && !fs.exists(dest))
+                sys.error(s"commit failed: cannot rename $tmp to $dest")
           }
           ()
         } catch { case e: Throwable => fs.delete(tmp, false); throw e }
       }
+    // sweep chunks a previous export left behind under OTHER names (a
+    // re-export with smaller numFiles or a different gzip flag would
+    // otherwise leave stale part files the reader silently mixes in),
+    // plus any _tmp- leftovers from crashed attempts — all before
+    // _SUCCESS marks the dir complete
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val dfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expected = (0 until numFiles).map(i => f"part-$i%05d$ext").toSet
+    dfs.listStatus(root).toSeq.filter(_.isFile).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.endsWith(".warc") || n.endsWith(".warc.gz")) && !expected.contains(n)
+      if (stale || n.startsWith("_tmp-")) dfs.delete(p, false)
+    }
     val succ = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    succ.getFileSystem(spark.sparkContext.hadoopConfiguration).create(succ, true).close()
+    dfs.create(succ, true).close()
   }
 
   // ----------------------------------------------------------------- read

@@ -105,27 +105,43 @@ private final class WarcStreamTable(path: String) extends Table with SupportsRea
 }
 
 /** Offset = highest chunk-file path ingested + how many files sit at or
-  * below it ("" / 0 = nothing yet). The count detects append-only-
-  * contract violations: a late file below the watermark changes the
-  * count without changing the watermark.
+  * below it ("" / 0 = nothing yet; n = -1 when recovered from a
+  * count-less legacy offset — the contract check is skipped once). The
+  * count detects append-only-contract violations: a late file below
+  * the watermark changes the count without changing the watermark.
   */
 private final case class WarcOffset(watermark: String, n: Int) extends Offset {
   override def json(): String = s"$n|$watermark"
 }
 
 private object WarcOffset {
-  def parse(json: String): WarcOffset = {
+  private[sources] def parse(json: String): WarcOffset = {
     val cut = json.indexOf('|')
-    WarcOffset(json.substring(cut + 1), json.substring(0, cut).toInt)
+    if (cut < 0) WarcOffset(json, -1) // legacy bare-watermark checkpoint
+    else WarcOffset(json.substring(cut + 1), json.substring(0, cut).toInt)
   }
 }
 
 private final class WarcMicroBatchStream(dir: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // one conf snapshot per stream, captured at planning time on the
+  // driver and shipped ONCE via the reader factory (embedding it per
+  // partition would serialize the whole Hadoop conf numFiles times)
+  private lazy val confMap: Map[String, String] =
+    Warc.hadoopConfMap(org.apache.spark.sql.SparkSession.active)
+
+  // the listing every offset was computed FROM, so planInputPartitions
+  // can use the exact same snapshot — a file landing between
+  // latestOffset() and planning can neither sneak into the batch
+  // uncounted nor trip the guard for data that actually was processed
+  @volatile private var lastSnapshot: Option[(WarcOffset, Seq[String])] = None
+
   private def currentOffset(): WarcOffset = {
     val fs = WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
-    WarcOffset(fs.lastOption.getOrElse(""), fs.size)
+    val off = WarcOffset(fs.lastOption.getOrElse(""), fs.size)
+    lastSnapshot = Some((off, fs))
+    off
   }
 
   // AvailableNow: freeze the file horizon at prepare time so the query
@@ -149,31 +165,36 @@ private final class WarcMicroBatchStream(dir: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[WarcOffset]
     val hi = end.asInstanceOf[WarcOffset]
-    val files = WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
+    val files = lastSnapshot match {
+      case Some((off, fs)) if off == hi => fs // same snapshot the offset came from
+      case _ => WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
+    }
     val below = files.count(_ <= lo.watermark)
-    if (below != lo.n) throw new IllegalStateException(
+    if (lo.n >= 0 && below != lo.n) throw new IllegalStateException(
       s"warc-stream contract violation: $below chunk files at or below committed " +
         s"watermark '${lo.watermark}' but the offset recorded ${lo.n} — a file " +
-        "arrived below the watermark (names must be append-only increasing); " +
-        "failing instead of silently dropping it")
-    val confMap = Warc.hadoopConfMap(org.apache.spark.sql.SparkSession.active)
-    files
-      .filter(f => f > lo.watermark && f <= hi.watermark)
-      .map(f => WarcChunkPartition(f, confMap): InputPartition)
-      .toArray
+        "arrived below the watermark (names must be append-only increasing) and " +
+        "was never processed; failing instead of silently dropping it")
+    val batch = files.filter(f => f > lo.watermark && f <= hi.watermark)
+    if (hi.n >= 0 && lo.n >= 0 && batch.size != hi.n - lo.n)
+      throw new IllegalStateException(
+        s"warc-stream contract violation: batch (${lo.watermark}, ${hi.watermark}] " +
+          s"now holds ${batch.size} files but the offsets recorded ${hi.n - lo.n} — " +
+          "the directory changed under a committed batch (recovery cannot " +
+          "reconstruct it exactly)")
+    batch.map(f => WarcChunkPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cm = confMap // driver-side capture, serialized once with the factory
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val p = partition.asInstanceOf[WarcChunkPartition]
-        new WarcChunkReader(p.file, p.confMap)
-      }
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new WarcChunkReader(partition.asInstanceOf[WarcChunkPartition].file, cm)
     }
+  }
 }
 
-private final case class WarcChunkPartition(
-  file: String, confMap: Map[String, String]) extends InputPartition
+private final case class WarcChunkPartition(file: String) extends InputPartition
 
 /** Streams one chunk file's records as InternalRows (one gzip member at
   * a time — the same O(largest record) bound as the batch reader).

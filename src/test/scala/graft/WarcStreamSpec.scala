@@ -93,6 +93,18 @@ class WarcStreamSpec extends AnyFunSuite {
     Seq(dir, cp, staged, out).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
   }
 
+  test("offset codec: new-format round trip, legacy bare-watermark checkpoints migrate") {
+    import graft.sources.WarcTestAccess._
+    assert(parseOffset(offsetJson("file:/d/part-00003.warc.gz", 4)) ==
+      ("file:/d/part-00003.warc.gz", 4))
+    // a pre-count checkpoint (bare watermark, no 'n|' prefix) must not
+    // crash deserialization: it parses with count -1, which skips the
+    // contract check once instead of dying on substring(0, -1)
+    assert(parseOffset("file:/d/part-00007.warc.gz") ==
+      ("file:/d/part-00007.warc.gz", -1))
+    assert(parseOffset("") == ("", -1))
+  }
+
   test("append-only contract: a file landing below the watermark fails loudly, not silently") {
     val dir = Files.createTempDirectory("graft-wstream-late").toString
     val cp = Files.createTempDirectory("graft-wstream-late-cp").toString

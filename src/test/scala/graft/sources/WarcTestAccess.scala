@@ -18,4 +18,10 @@ object WarcTestAccess {
     Warc.memberSizeProbe = probe
     try f finally Warc.memberSizeProbe = old
   }
+  /** streaming-offset codec (watermark, count; count -1 = legacy) */
+  def parseOffset(json: String): (String, Int) = {
+    val o = WarcOffset.parse(json)
+    (o.watermark, o.n)
+  }
+  def offsetJson(watermark: String, n: Int): String = WarcOffset(watermark, n).json()
 }
