@@ -272,19 +272,21 @@ object Extraction {
     }),
 
     // robots.txt gate — the crawl-politeness decision per url (RFC 9309
-    // User-agent:* groups, longest-prefix match, Allow wins ties). Each
-    // host serves a fixed robots fixture exercising a distinct rule
-    // shape (allow-all, prefix+exception, total block, non-matching
-    // prefix, foreign-agent-only group, unknown directives+comments);
-    // the oracle hand-derives every decision independently of the
-    // parser under test. Pure map-side.
+    // §2.2.1 group selection for the crawler token "graftbot" — exact
+    // named groups merged and overriding `*`, prefix fallback, then the
+    // `*` groups — plus longest-path-match rules, Allow wins ties. Each
+    // host serves a fixed robots fixture exercising a distinct shape
+    // (allow-all, prefix+exception, named-override, exact-vs-prefix
+    // priority, prefix fallback, foreign-agent-only group, unknown
+    // directives+comments); the oracle hand-derives every decision
+    // independently of the parser under test. Pure map-side.
     "x_robots" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
         .map { id =>
           val h = PageHtml.hostIndex(id)
-          val rules = graft.extract.Robots.parse(robotsFor(h))
+          val rules = graft.extract.Robots.parse(robotsFor(h), "graftbot")
           val ok = graft.extract.Robots.allowed(rules, s"/doc/$id")
           (id, s"h$h.example.org", if (ok) 1 else 0, rules.crawlDelay.getOrElse(0))
         }
@@ -372,13 +374,27 @@ object Extraction {
   // under "/doc/" with an Allow exception for ids ending in 2 (more
   // octets → wins), while its evilbot group must not leak
 
+  /** Per-host robots fixtures. Hosts 2/3/4 carry NAMED user-agent groups
+    * so the query (crawler token "graftbot") exercises RFC 9309 §2.2.1
+    * group selection end-to-end: exact-match override of `*` (h2, split
+    * into two merged `graftbot` groups), exact beating both a prefix
+    * group and `*` (h3), and prefix fallback `graft` → token `graftbot`
+    * when no exact group exists (h4). In each case the `*` group says
+    * Disallow:/ — a selection bug would flip the oracle's decisions.
+    */
   private[queries] def robotsFor(h: Int): String = h match {
     case 0 => "User-agent: *\nCrawl-delay: 1\n"
     case 1 => "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"
-    case 2 => "User-agent: *\nDisallow: /\n"
-    case 3 => "# ids ending in 7 are private\nUser-agent: *\nDisallow: /*7$\n"
+    case 2 => "User-agent: graftbot\nAllow: /doc/\n\n" +
+      "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\n" // second exact group MERGES
+    case 3 => "# ids ending in 7 are private (for graftbot; others blocked)\n" +
+      "User-agent: graft\nDisallow: /*3$\n\n" +
+      "User-agent: graftbot\nDisallow: /*7$\n\n" +
+      "User-agent: *\nDisallow: /\n"
     case 4 => "User-agent: evilbot\nDisallow: /\n\n" +
-      "User-agent: *\nDisallow: /doc/*\nAllow: /doc/*2$\nCrawl-delay: 5\n"
+      "User-agent: graft\nDisallow: /doc/*\nAllow: /doc/*2$\nCrawl-delay: 5\n\n" +
+      "User-agent: *\nDisallow: /\n"
     case 5 => "User-agent: evilbot\nDisallow: /\n"
     case _ => "User-agent: *\nUnknown-directive: x\n# note\nDisallow: /doc/1\n"
   }
@@ -518,15 +534,23 @@ object Extraction {
          |    ${hostIdxSqlFor("doc_id")} AS hi,
          |    CAST(doc_id AS VARCHAR) AS ids
          |  FROM documents)
+         |-- hand-derived per fixture for crawler token graftbot:
+         |-- h2: exact graftbot groups (merged) allow /doc/ + delay 2,
+         |--     overriding the * group's Disallow:/ → always allowed
+         |-- h3: exact graftbot group (Disallow /*7$$) beats BOTH the
+         |--     prefix group 'graft' (/*3$$) and * (Disallow:/)
+         |-- h4: no exact group → prefix 'graft' matches 'graftbot'
+         |--     (Disallow /doc/* Allow /doc/*2$$ delay 5), not * (/)
          |SELECT doc_id, host,
          |  CASE hi WHEN 0 THEN 1
          |    WHEN 1 THEN CASE WHEN ids LIKE '2%' THEN 1 ELSE 0 END
-         |    WHEN 2 THEN 0
+         |    WHEN 2 THEN 1
          |    WHEN 3 THEN CASE WHEN ids LIKE '%7' THEN 0 ELSE 1 END
          |    WHEN 4 THEN CASE WHEN ids LIKE '%2' THEN 1 ELSE 0 END
          |    WHEN 5 THEN 1
          |    ELSE CASE WHEN ids LIKE '1%' THEN 0 ELSE 1 END END AS allowed,
-         |  CASE hi WHEN 0 THEN 1 WHEN 4 THEN 5 ELSE 0 END AS crawl_delay
+         |  CASE hi WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 5 ELSE 0 END
+         |    AS crawl_delay
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "x_host_rank" -> {

@@ -191,8 +191,11 @@ object Warc {
           } catch {
             case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
               if (fs.exists(dest)) fs.delete(dest, false)
-              if (!fs.rename(tmp, dest) && !fs.exists(dest))
-                sys.error(s"commit failed: cannot rename $tmp to $dest")
+              if (!fs.rename(tmp, dest)) {
+                if (fs.exists(dest)) fs.delete(tmp, false) // lost the race to a
+                // concurrent attempt that committed equal bytes — clean our temp
+                else sys.error(s"commit failed: cannot rename $tmp to $dest")
+              }
           }
           ()
         } catch { case e: Throwable => fs.delete(tmp, false); throw e }
@@ -342,9 +345,12 @@ object Warc {
   /** Streaming member-by-member gzip decode over an InputStream: yields
     * one INFLATED member at a time through a fixed 64 KB input window
     * and a single shared Inflater — peak memory O(largest member), never
-    * O(stream). Tolerant: a malformed header, truncated member, or
-    * corrupt deflate stream ends the iteration (records already decoded
-    * stand); `close()` is idempotent and also runs on exhaustion.
+    * O(stream). Tolerant to CONTENT corruption: a malformed header,
+    * truncated member, or corrupt deflate stream ends the iteration
+    * (records already decoded stand); but a transport-level IOException
+    * from the underlying stream PROPAGATES so the task fails and Spark
+    * retries (see recordsInFile's failure contract). `close()` is
+    * idempotent and also runs on exhaustion.
     */
   private[sources] final class GzipMemberReader(in: java.io.InputStream)
       extends scala.collection.AbstractIterator[Array[Byte]] with AutoCloseable {
@@ -378,7 +384,15 @@ object Warc {
           memberSizeProbe(nextMember.length)
           skip(8) // CRC32 + ISIZE trailer (best-effort; EOF here is fine)
         }
-      } catch { case _: Exception => nextMember = null }
+      } catch {
+        // content corruption → end of usable stream, keep decoded records
+        case _: java.io.EOFException => nextMember = null
+        case _: java.util.zip.ZipException => nextMember = null
+        case _: java.util.zip.DataFormatException => nextMember = null
+        // transport errors (fs read) propagate → task failure → retry
+        case e: java.io.IOException => close(); throw e
+        case _: Exception => nextMember = null
+      }
       if (nextMember == null) close()
     }
 
@@ -435,7 +449,8 @@ object Warc {
         }
         val n = inflater.inflate(obuf)
         if (n > 0) out.write(obuf, 0, n)
-        else if (inflater.needsDictionary()) throw new java.io.IOException("preset dictionary")
+        else if (inflater.needsDictionary()) // content-level: unsupported stream shape
+          throw new java.util.zip.ZipException("preset dictionary")
       }
       ipos -= inflater.getRemaining // hand unconsumed bytes back to the window
       out.toByteArray
@@ -448,39 +463,40 @@ object Warc {
     * completion) and the DSv2 streaming PartitionReader (Spark calls
     * close()) — release the stream/Inflater deterministically; close is
     * idempotent and also runs on exhaustion.
+    *
+    * Failure contract: CONTENT-level problems (malformed records, corrupt
+    * gzip members, truncated tails) are absorbed by the parsers — they
+    * yield fewer rows, never a task failure (E1 tolerance). But IO-level
+    * failures here — fs.open / read on a listed file — PROPAGATE: a
+    * transient HDFS/S3 error must fail the task so Spark retries it,
+    * because in the streaming connector a swallowed open() would commit
+    * the micro-batch offset past a chunk that produced zero rows and
+    * silently drop ~1 GB of crawl forever.
     */
   private[sources] def recordsInFile(pathStr: String, confMap: Map[String, String]):
-      scala.collection.AbstractIterator[WarcDoc] with AutoCloseable =
-    try {
-      val p = new org.apache.hadoop.fs.Path(pathStr)
-      val fs = p.getFileSystem(confFrom(confMap))
-      if (pathStr.endsWith(".gz")) {
-        val reader = new GzipMemberReader(
-          new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
-        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
-          private val it = reader.flatMap(parseChunk)
-          def hasNext: Boolean = it.hasNext
-          def next(): WarcDoc = it.next()
-          def close(): Unit = reader.close()
-        }
-      } else {
-        val in = fs.open(p)
-        val all = try in.readAllBytes() finally in.close()
-        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
-          private val it = parseChunk(all)
-          def hasNext: Boolean = it.hasNext
-          def next(): WarcDoc = it.next()
-          def close(): Unit = ()
-        }
+      scala.collection.AbstractIterator[WarcDoc] with AutoCloseable = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(confFrom(confMap))
+    if (pathStr.endsWith(".gz")) {
+      val reader = new GzipMemberReader(
+        new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
+      new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
+        private val it = reader.flatMap(parseChunk)
+        def hasNext: Boolean = it.hasNext
+        def next(): WarcDoc = it.next()
+        def close(): Unit = reader.close()
       }
-    } catch {
-      case _: Exception => // unreadable file → zero rows, not a task failure
-        new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
-          def hasNext: Boolean = false
-          def next(): WarcDoc = Iterator.empty.next()
-          def close(): Unit = ()
-        }
+    } else {
+      val in = fs.open(p)
+      val all = try in.readAllBytes() finally in.close()
+      new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
+        private val it = parseChunk(all)
+        def hasNext: Boolean = it.hasNext
+        def next(): WarcDoc = it.next()
+        def close(): Unit = ()
+      }
     }
+  }
 
   private def recordsIn(pathStr: String, confMap: Map[String, String]): Iterator[WarcDoc] = {
     val rs = recordsInFile(pathStr, confMap)

@@ -91,4 +91,49 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(Robots.parse(null), "/x"), "missing file = allow all")
     assert(Robots.allowed(Robots.parse(""), "/x"))
   }
+
+  test("§2.2.1 named-group selection: exact match overrides *, merges, ci") {
+    val body = "User-agent: GraftBot\nAllow: /doc/\n\n" +
+      "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\n"
+    val r = Robots.parse(body, "graftbot")
+    assert(Robots.allowed(r, "/doc/1"), "exact group overrides * Disallow:/")
+    assert(r.crawlDelay.contains(2), "second exact group merges in (RFC merge)")
+    val star = Robots.parse(body, "otherbot")
+    assert(!Robots.allowed(star, "/doc/1"), "unmatched token falls back to *")
+    assert(star.crawlDelay.isEmpty)
+    assert(!Robots.allowed(Robots.parse(body), "/doc/1"), "parse(body) ≡ * agent")
+  }
+
+  test("§2.2.1 prefix fallback: longest prefix group, only without exact") {
+    val body = "User-agent: graft\nDisallow: /a/\n\n" +
+      "User-agent: graftbot-img\nDisallow: /b/\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    val r = Robots.parse(body, "graftbot")
+    assert(!Robots.allowed(r, "/a/x"), "prefix group 'graft' governs 'graftbot'")
+    assert(Robots.allowed(r, "/b/x"), "'graftbot-img' is NOT a prefix of the token")
+    assert(Robots.allowed(r, "/c"), "* group ignored once a prefix group matched")
+    val longest = Robots.parse(
+      "User-agent: g\nDisallow: /short/\n\nUser-agent: graft\nDisallow: /long/\n",
+      "graftbot")
+    assert(Robots.allowed(longest, "/short/x"), "longest prefix wins")
+    assert(!Robots.allowed(longest, "/long/x"))
+    val exactBeats = Robots.parse(
+      "User-agent: graft\nDisallow: /p/\n\nUser-agent: graftbot\nDisallow: /e/\n",
+      "graftbot")
+    assert(Robots.allowed(exactBeats, "/p/x"), "exact group beats prefix group")
+    assert(!Robots.allowed(exactBeats, "/e/x"))
+  }
+
+  test("no matching group at all = allow-all for that token") {
+    val r = Robots.parse("User-agent: evilbot\nDisallow: /\n", "graftbot")
+    assert(Robots.allowed(r, "/anything"))
+    assert(r.crawlDelay.isEmpty)
+  }
+
+  test("rule values normalize once at parse (stored normalized)") {
+    val r = Robots.parse("User-agent: *\nDisallow: /tmp%7e/\nAllow: /a%2fb\n")
+    assert(r.disallows == Seq("/tmp~/"), "unreserved escape decoded at parse")
+    assert(r.allows == Seq("/a%2Fb"), "reserved escape kept, hex uppercased")
+  }
 }
