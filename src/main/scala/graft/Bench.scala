@@ -94,6 +94,10 @@ object Bench {
       }
       val cold = once()
       val warm = if (cold >= 0) once() else -1.0
+      // drop query-internal caches at the boundary: 77 queries' shingle/
+      // fingerprint tables must not accumulate storage memory for the
+      // rest of the sweep (warm rep already ran, so reuse is done)
+      graft.util.CacheScope.releaseAll()
       (name, cold, warm)
     }
 

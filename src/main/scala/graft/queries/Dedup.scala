@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** test probe: rounds the last d_components run took to converge (the
+    * job-count spec derives its per-iteration budget from this)
+    */
+  @volatile private[graft] var lastComponentsIters: Int = 0
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -186,7 +191,7 @@ object Dedup {
     * may appear anywhere in it).
     */
   private[graft] def componentEdges(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
+    val sh = graft.util.CacheScope.cached(shingles(docs(s, dir)))
     verifiedPairs(sh, Some(lshCandidates(s, sh)))
       .select(col("a_id"), col("b_id"))
   }
@@ -225,8 +230,9 @@ object Dedup {
     */
   def probeBandIndex(s: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
     // cached: the batch shingles feed both the band computation and the
-    // verify union — same session-lifetime pattern as d_minhash_lsh
-    val shNew = shingles(newDocs).cache()
+    // verify union — same pattern as d_minhash_lsh; registered with
+    // CacheScope so multi-query harnesses release it at query boundaries
+    val shNew = graft.util.CacheScope.cached(shingles(newDocs))
     val bNew = minhashBands(s, shNew)
     val stored = s.read.parquet(s"$indexDir/bands")
     val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
@@ -267,7 +273,7 @@ object Dedup {
     // 10^12-scale path), then exact-verified. Output is identical to
     // d_jaccard_pairs (same oracle): proves recall.
     "d_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = graft.util.CacheScope.cached(shingles(docs(s, dir)))
       verifiedPairs(sh, Some(lshCandidates(s, sh)))
     }),
 
@@ -311,8 +317,9 @@ object Dedup {
       // and at scale it IS the persisted index (16 bytes/doc). Session-
       // lifetime cache is deliberate — recompute would re-run the full
       // token aggregation per join side; at 10^12 rows this table is a
-      // written artifact, not a cache
-      val sim = simhash(s, dir).cache()
+      // written artifact, not a cache (CacheScope releases it at the
+      // harnesses' query boundaries)
+      val sim = graft.util.CacheScope.cached(simhash(s, dir))
       val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           expr(s"shiftright(simhash, ${15 * i}) & 32767")): _*)))
@@ -428,30 +435,52 @@ object Dedup {
     // Output: every doc with its cluster id (min doc_id in the cluster)
     // and the is_canonical marker that curation keeps.
     "d_components" -> ((s, dir) => {
+      import s.implicits._
       val pairs = componentEdges(s, dir)
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("u", "v").cache()
-      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("comp"))
-        .localCheckpoint()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 50) {
-        val nbr = edges.join(labels, edges("v") === labels("doc_id"))
-          .select(col("u").as("doc_id"), col("comp"))
-        val next = labels.select(col("doc_id"), col("comp")).union(nbr)
-          .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+      try {
+        var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("comp"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-          .where(col("comp") =!= col("old")).count()
-        labels = next
-        iters += 1
-      }
-      edges.unpersist()
-      require(changed == 0, s"label propagation did not converge in $iters rounds")
-      labels
-        .withColumn("is_canonical", (col("doc_id") === col("comp")).cast("int"))
-        .orderBy(col("doc_id"))
+        var changed = 1L
+        var iters = 0
+        while (changed > 0 && iters < 50) {
+          val acc = s.sparkContext.longAccumulator(s"graft-cc-changed")
+          val nbr = edges.join(labels, edges("v") === labels("doc_id"))
+            .select(col("u").as("doc_id"), col("comp"))
+          // The convergence signal rides INSIDE the propagation job — no
+          // second count job per round: each doc's OLD label travels
+          // through the same aggregation (the labels side contributes
+          // exactly one row per doc; neighbor rows carry a MaxValue
+          // sentinel, so min(old) IS the old label), and the typed map
+          // bumps an accumulator per changed label while the eager
+          // localCheckpoint materializes the round. A retried task can
+          // only over-count — the worst case is one extra (no-op) round,
+          // never a premature exit, since a converged round adds zero.
+          val next = labels
+            .select(col("doc_id"), col("comp"), col("comp").as("old"))
+            .union(nbr.select(col("doc_id"), col("comp"),
+              lit(Long.MaxValue).as("old")))
+            .groupBy(col("doc_id"))
+            .agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+            .as[(Long, Long, Long)]
+            .map { case (id, comp, old) =>
+              if (comp != old) acc.add(1L)
+              (id, comp)
+            }
+            .toDF("doc_id", "comp")
+            .localCheckpoint()
+          changed = acc.value
+          labels = next
+          iters += 1
+        }
+        lastComponentsIters = iters
+        require(changed == 0, s"label propagation did not converge in $iters rounds")
+        labels
+          .withColumn("is_canonical", (col("doc_id") === col("comp")).cast("int"))
+          .orderBy(col("doc_id"))
+      } finally edges.unpersist()
     }),
 
     // INCREMENTAL EXACT dedup through the persisted Bloom index — the

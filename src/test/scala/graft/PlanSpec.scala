@@ -165,6 +165,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("bh#"), s"expected the band-bucket join:\n$plan")
   }
 
+  test("d_components: one action per propagation iteration (no count action)") {
+    // count ACTIONS (SQL executions), not raw scheduler jobs — parquet
+    // footer reads and sort-sampling submit bookkeeping jobs that would
+    // blur the signal. The pre-fix shape ran a separate join+count action
+    // per round; the fix rides the convergence signal on an accumulator
+    // inside each round's localCheckpoint materialization.
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.add(s"failed:$funcName")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = graft.queries.Dedup.defs("d_components")(spark, sfDir).collect()
+      // listener delivery is async; wait for the stream to go quiet
+      var last = -1
+      var spins = 0
+      while (actions.size() != last && spins < 50) {
+        last = actions.size(); spins += 1; Thread.sleep(100)
+      }
+      assert(rows.nonEmpty)
+      val iters = graft.queries.Dedup.lastComponentsIters
+      assert(iters >= 2, s"fixture must need real propagation, got $iters rounds")
+      import scala.jdk.CollectionConverters._
+      val names = actions.asScala.toList
+      assert(!names.contains("count"),
+        s"no per-round convergence count action may run, saw: $names")
+      // initial labels checkpoint + one per iteration + the final collect
+      assert(names.size <= iters + 2,
+        s"${names.size} actions for $iters iterations ($names)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("c_sample: stats broadcast, the Bernoulli draw never shuffles the corpus") {
     val plan = graft.queries.Curation.defs("c_sample")(spark, sfDir)
       .queryExecution.sparkPlan.toString

@@ -65,6 +65,59 @@ class StagingSpec extends AnyFunSuite {
     Seq(Paths.get(a3), other, corpus).foreach(Staging.deleteRec)
   }
 
+  test("two corpora sharing a basename coexist: sweep is path-scoped") {
+    val rootA = Files.createTempDirectory("graft-stg-a")
+    val rootB = Files.createTempDirectory("graft-stg-b")
+    val corpusA = rootA.resolve("sfX"); Files.createDirectories(corpusA)
+    val corpusB = rootB.resolve("sfX"); Files.createDirectories(corpusB)
+    Files.write(corpusA.resolve("documents.parquet"), "aaa".getBytes)
+    Files.write(corpusB.resolve("documents.parquet"), "bbb".getBytes)
+    var builds = 0
+    def resolve(c: java.nio.file.Path): String =
+      Staging.keyedArtifact("stgtest2", c.toString, 1)(p =>
+        Files.exists(p.resolve("done")))(out => {
+        builds += 1
+        Files.createDirectories(Paths.get(out))
+        Files.write(Paths.get(out, "done"), Array.emptyByteArray)
+      })
+    val a = resolve(corpusA)
+    val b = resolve(corpusB) // B's build sweeps — must NOT hit A's artifact
+    assert(builds == 2 && a != b)
+    assert(Files.exists(Paths.get(a, "done")), "A's artifact survives B's build")
+    val a2 = resolve(corpusA)
+    assert(a2 == a && builds == 2, "A still resolves without a rebuild (no thrash)")
+    // regenerate B: its OWN older key is swept, A still untouched
+    Files.write(corpusB.resolve("documents.parquet"), "bbb-regen".getBytes)
+    val b2 = resolve(corpusB)
+    assert(b2 != b && builds == 3)
+    assert(!Files.exists(Paths.get(b)), "B's old-key artifact swept")
+    assert(Files.exists(Paths.get(a, "done")), "A untouched by B's re-key")
+    Seq(Paths.get(a), Paths.get(b2), rootA, rootB).foreach(Staging.deleteRec)
+  }
+
+  test("build runs in a private temp dir; a failed build leaves no keyed dir") {
+    val corpus = Files.createTempDirectory("graft-stg-atomic")
+    Files.write(corpus.resolve("documents.parquet"), "data".getBytes)
+    var buildPath: String = null
+    def resolve(fail: Boolean): String =
+      Staging.keyedArtifact("stgtest3", corpus.toString, 1)(p =>
+        Files.exists(p.resolve("done")))(out => {
+        buildPath = out
+        Files.createDirectories(Paths.get(out))
+        if (fail) sys.error("simulated build crash")
+        Files.write(Paths.get(out, "done"), Array.emptyByteArray)
+      })
+    val failed = intercept[RuntimeException](resolve(fail = true))
+    assert(failed.getMessage.contains("simulated"))
+    assert(Paths.get(buildPath).getFileName.toString.startsWith("."),
+      "build must target a hidden temp dir, not the keyed name")
+    assert(!Files.exists(Paths.get(buildPath)), "failed build's temp is cleaned")
+    val keyed = resolve(fail = false)
+    assert(buildPath != keyed, "publish renames temp into the keyed name")
+    assert(Files.exists(Paths.get(keyed, "done")))
+    Seq(Paths.get(keyed), corpus).foreach(Staging.deleteRec)
+  }
+
   test("d_incremental probes a staged index: no rebuild, no temp leak on re-run") {
     def lshTemps() = {
       val s = Files.list(Paths.get("/tmp"))
