@@ -187,26 +187,24 @@ object Extraction {
 
     // URL filtering (RefinedWeb §G.1 / UT1-blocklist style — the FIRST
     // gate of a crawl curation pipeline, applied before any content is
-    // fetched or extracted): a domain blocklist plus bad-word URL
-    // matching. Planted deterministically: docs on hosts h5/h6 are
-    // domain-blocked; doc_id%23==5/16 carry a casino-/adult-flavored
+    // fetched or extracted): the Gates.urlFilter OPERATOR driven by a
+    // fixture blocklist. Planted deterministically: docs on hosts h5/h6
+    // are domain-blocked; doc_id%23==5/16 carry a casino-/adult-flavored
     // path segment. Precedence: domain block > word block > ok. Pure
-    // map-side — at crawl scale the blocklist (UT1 is ~4M domains,
-    // tens of MB) broadcasts; here it is a literal isin for the oracle.
+    // map-side — the host table broadcast-joins and the word list rides
+    // as a one-row broadcast array (UT1 at ~4M domains / tens of MB
+    // still broadcasts); the corpus never shuffles.
     "x_url_filter" -> ((s, dir) => {
+      import s.implicits._
       val base = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
         .withColumn("url", concat(
           lit("https://h"), hostIdxCol, lit(".example.org/doc/"), col("doc_id"),
           when(col("doc_id") % 23 === 5, lit("/casino-bonus"))
             .when(col("doc_id") % 23 === 16, lit("/adult-xxx"))
             .otherwise(lit(""))))
-      base
-        .withColumn("host", element_at(split(col("url"), "/"), 3))
-        .withColumn("verdict",
-          when(col("host").isin("h5.example.org", "h6.example.org"), "blocked_domain")
-            .when(col("url").contains("casino") || col("url").contains("adult") ||
-              col("url").contains("xxx"), "blocked_word")
-            .otherwise("ok"))
+      graft.curation.Gates.urlFilter(base,
+          blockedHosts = Seq("h5.example.org", "h6.example.org").toDF("host"),
+          blockedWords = Seq("casino", "adult", "xxx").toDF("word"))
         .select(col("doc_id"), col("url"), col("verdict"))
         .orderBy(col("doc_id"))
     }),

@@ -203,8 +203,10 @@ object TextAnalysis {
     // lines that end in terminal punctuation, have >= 3 words, and do
     // not mention javascript, drops the ENTIRE doc when lorem ipsum
     // appears anywhere, and marks docs with >= 3 surviving lines as
-    // keepable. Pure map-side (per-row array ops — lines are bounded,
-    // each split once); the oracle replays every plant and rule in SQL.
+    // keepable. Runs through the Gates.c4Filter OPERATOR (user-suppliable
+    // rules; the defaults ARE the C4 rule set this oracle replays). Pure
+    // map-side (per-row array ops — lines are bounded, each split once);
+    // the oracle replays every plant and rule in SQL.
     "t_c4_filters" -> ((s, dir) => {
       val d = docs(s, dir)
         .withColumn("ws", split(col("text"), " "))
@@ -220,17 +222,9 @@ object TextAnalysis {
         .withColumn("lines", expr(
           "CASE WHEN doc_id % 29 = 11" +
             " THEN concat(l2, array('lorem ipsum dolor.')) ELSE l2 END"))
-      d.withColumn("lor", expr("exists(lines, l -> l LIKE '%lorem ipsum%')"))
-        .withColumn("kept", expr(
-          "filter(lines, l -> l LIKE '%.' AND size(split(l, ' ')) >= 3" +
-            " AND l NOT LIKE '%javascript%')"))
-        .select(col("doc_id"),
-          size(col("lines")).cast("long").as("n_lines"),
-          when(col("lor"), lit(0L))
-            .otherwise(size(col("kept")).cast("long")).as("n_kept"),
-          (!col("lor") && size(col("kept")) >= 3).as("doc_keep"),
-          when(col("lor"), lit(""))
-            .otherwise(array_join(col("kept"), "\n")).as("kept_text"))
+      graft.curation.Gates.c4Filter(d, graft.curation.Gates.C4Rules())
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("doc_keep"), col("kept_text"))
         .orderBy(col("doc_id"))
     }),
 
