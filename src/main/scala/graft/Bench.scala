@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** EVERY non-streaming query gets timed (cold + warm) so a regression
-    * can never hide in an unbenched operator; the st_* family is excluded
-    * because each run stages temp dirs + checkpoints (wall time there is
-    * dominated by setup, and parity with batch is the correctness gate).
-    * Sorted for a stable cross-round key order in BENCH_r{N}.json.
+  /** EVERY query gets timed (cold + warm) so a regression can never hide
+    * in an unbenched operator — including the st_* streaming family
+    * (AvailableNow drain wall time; setup/checkpoint cost is real cost,
+    * and the listener-fed `streaming` section reports per-query input
+    * rows/s so a throughput regression is visible separately from
+    * staging). Sorted for a stable cross-round key order in
+    * BENCH_r{N}.json.
     */
   private def headline(qs: Map[String, _]): Seq[String] =
-    qs.keys.filterNot(_.startsWith("st_")).toSeq.sorted
+    qs.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +76,23 @@ object Bench {
     val docsPerSec = docs / extractSec
     val mbPerSec = bytes / 1e6 / extractSec
 
+    // --- WARC metadata-pass pruning delta --------------------------------
+    // url-count over the staged WARC chunks, full-schema vs projected
+    // read: the projected path walks the same records but never copies a
+    // body — the delta IS the html materialization cost a metadata pass
+    // saves (mirrors the streaming connector's required-column pushdown)
+    val warcDir = graft.queries.Extraction.warcStaged(spark, sfDir)
+    def timeCount(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeCount(graft.sources.Warc.read(spark, warcDir)) // warm-up
+    val warcFullSec = (1 to 3).map(_ =>
+      timeCount(graft.sources.Warc.read(spark, warcDir).select(col("url")))).min
+    val warcPrunedSec = (1 to 3).map(_ =>
+      timeCount(graft.sources.Warc.read(spark, warcDir, Seq("url")))).min
+
     // --- headline query timings ------------------------------------------
     // (skippable for scaling-matrix runs that only need extract_sec)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
@@ -86,6 +105,27 @@ object Bench {
     // BENCH/BASELINE.md), the second (warm) run is the per-query number
     // comparable across rounds, so "queries" carries warm and
     // "queries_cold" the first-run time
+    // per-stream progress feed: input rows + trigger wall time per sink
+    // name, summed over batches — rows/s for each st_* query without the
+    // recentProgress 100-entry cap
+    val stProgress =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val name = if (p.name != null) p.name else p.id.toString
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          stProgress.merge(name, (p.numInputRows, ms),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+          ()
+        }
+      })
+
     val results = headline(qs).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -105,6 +145,14 @@ object Bench {
       results.map(r => s""""${r._1}":${"%.3f".format(f(r))}""").mkString("{", ",", "}")
     val qJson = js(_._3)
     val qColdJson = js(_._2)
+    // per-sink streaming throughput from the progress feed
+    val stJson = {
+      import scala.jdk.CollectionConverters._
+      stProgress.asScala.toSeq.sortBy(_._1).map { case (n, (rows, ms)) =>
+        val rps = if (ms > 0) rows * 1000.0 / ms else 0.0
+        s""""$n":{"rows":$rows,"trigger_ms":$ms,"rows_per_sec":${"%.1f".format(rps)}}"""
+      }.mkString("{", ",", "}")
+    }
     val total = results.map(_._3).filter(_ >= 0).sum + extractSec
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
@@ -112,7 +160,10 @@ object Bench {
         s""""extract_docs":$docs,"extract_bytes":$bytes,""" +
         s""""extract_sec":${"%.3f".format(extractSec)},""" +
         s""""extract_docs_per_sec":${"%.1f".format(docsPerSec)},""" +
-        s""""extract_mb_per_sec":${"%.2f".format(mbPerSec)}}""")
+        s""""extract_mb_per_sec":${"%.2f".format(mbPerSec)},""" +
+        s""""warc_urlcount_full_sec":${"%.3f".format(warcFullSec)},""" +
+        s""""warc_urlcount_pruned_sec":${"%.3f".format(warcPrunedSec)},""" +
+        s""""streaming":$stJson}""")
     spark.stop()
   }
 }

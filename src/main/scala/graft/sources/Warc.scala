@@ -228,8 +228,13 @@ object Warc {
     * gzip member, or a whole plain `.warc` file). Tolerant: skips junk,
     * truncated tails, non-response records, and malformed headers; NEVER
     * throws. Lazy so the gz path holds one record at a time.
+    * `wantHtml = false` (the column-pruned scan) still walks and frames
+    * every record — the stream is sequential — but never COPIES a body:
+    * `html` comes back null and the per-record allocation drops from
+    * O(body) to O(headers).
     */
-  private[sources] def parseChunk(bytes: Array[Byte]): Iterator[WarcDoc] =
+  private[sources] def parseChunk(bytes: Array[Byte],
+                                  wantHtml: Boolean = true): Iterator[WarcDoc] =
     new scala.collection.AbstractIterator[WarcDoc] {
       private var i = if (bytes == null) -1 else indexOfAscii(bytes, "WARC/", 0)
       private var nextDoc: WarcDoc = null
@@ -238,7 +243,7 @@ object Warc {
         nextDoc = null
         while (nextDoc == null && i >= 0 && i < bytes.length) {
           val (next, doc) =
-            try parseRecord(bytes, i)
+            try parseRecord(bytes, i, wantHtml)
             catch { case _: Exception => (-1, None) } // malformed → rescan below
           doc.foreach(nextDoc = _)
           i =
@@ -260,7 +265,8 @@ object Warc {
     * unrecoverable here) and the parsed doc when it is a well-formed
     * response.
     */
-  private def parseRecord(bytes: Array[Byte], start: Int): (Int, Option[WarcDoc]) = {
+  private def parseRecord(bytes: Array[Byte], start: Int,
+                          wantHtml: Boolean = true): (Int, Option[WarcDoc]) = {
     val n = bytes.length
     val headerEnd = indexOfAscii(bytes, "\r\n\r\n", start)
     if (headerEnd < 0) return (-1, None)
@@ -279,7 +285,7 @@ object Warc {
         catch { case _: Exception => None }
       }.getOrElse(new java.sql.Timestamp(0L))
       val lang = headers.getOrElse(LangHeader.toLowerCase, "")
-      val doc = parseHttp(bytes, bodyStart, bodyEnd).collect {
+      val doc = parseHttp(bytes, bodyStart, bodyEnd, wantHtml).collect {
         case (status, mime, html) if url.nonEmpty =>
           WarcDoc(url, ts, html, lang, status, mime)
       }
@@ -287,8 +293,11 @@ object Warc {
     } else (bodyEnd, None)
   }
 
-  /** HTTP response block → (status, mime, body bytes); None if malformed. */
-  private def parseHttp(bytes: Array[Byte], start: Int, end: Int): Option[(Int, String, Array[Byte])] = {
+  /** HTTP response block → (status, mime, body bytes); None if malformed.
+    * `wantBody = false` skips the body copy (null body).
+    */
+  private def parseHttp(bytes: Array[Byte], start: Int, end: Int,
+                        wantBody: Boolean = true): Option[(Int, String, Array[Byte])] = {
     val headEnd = indexOfAscii(bytes, "\r\n\r\n", start)
     if (headEnd < 0 || headEnd >= end) return None
     val head = new String(bytes, start, headEnd - start, StandardCharsets.UTF_8)
@@ -306,7 +315,9 @@ object Warc {
       case Some(l) if l >= 0 && bodyStart + l <= end => (bodyStart + l).toInt
       case _ => end
     }
-    Some((status, mime, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)))
+    Some((status, mime,
+      if (wantBody) java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)
+      else null))
   }
 
   /** case-insensitive name → value over a header block whose FIRST line
@@ -473,7 +484,8 @@ object Warc {
     * the micro-batch offset past a chunk that produced zero rows and
     * silently drop ~1 GB of crawl forever.
     */
-  private[sources] def recordsInFile(pathStr: String, confMap: Map[String, String]):
+  private[sources] def recordsInFile(pathStr: String, confMap: Map[String, String],
+                                     wantHtml: Boolean = true):
       scala.collection.AbstractIterator[WarcDoc] with AutoCloseable = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val fs = p.getFileSystem(confFrom(confMap))
@@ -481,7 +493,7 @@ object Warc {
       val reader = new GzipMemberReader(
         new java.io.BufferedInputStream(fs.open(p), 256 * 1024))
       new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
-        private val it = reader.flatMap(parseChunk)
+        private val it = reader.flatMap(parseChunk(_, wantHtml))
         def hasNext: Boolean = it.hasNext
         def next(): WarcDoc = it.next()
         def close(): Unit = reader.close()
@@ -490,7 +502,7 @@ object Warc {
       val in = fs.open(p)
       val all = try in.readAllBytes() finally in.close()
       new scala.collection.AbstractIterator[WarcDoc] with AutoCloseable {
-        private val it = parseChunk(all)
+        private val it = parseChunk(all, wantHtml)
         def hasNext: Boolean = it.hasNext
         def next(): WarcDoc = it.next()
         def close(): Unit = ()
@@ -498,8 +510,9 @@ object Warc {
     }
   }
 
-  private def recordsIn(pathStr: String, confMap: Map[String, String]): Iterator[WarcDoc] = {
-    val rs = recordsInFile(pathStr, confMap)
+  private def recordsIn(pathStr: String, confMap: Map[String, String],
+                        wantHtml: Boolean): Iterator[WarcDoc] = {
+    val rs = recordsInFile(pathStr, confMap, wantHtml)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => rs.close()))
     rs
@@ -507,11 +520,27 @@ object Warc {
 
   /** Read every `*.warc` / `*.warc.gz` chunk under `dir` into the
     * Page-shaped table (url, warc_ts, html, lang, http_status, mime).
-    * Undecodable chunk files contribute zero rows (tolerance, not tasks
-    * failing) — per-record errors are already absorbed by the parser.
+    * Per-record errors are absorbed by the parser (tolerance); IO errors
+    * fail the task (see recordsInFile).
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, WarcStreamSource.Schema.fieldNames.toSeq)
+
+  /** Projected read: only `columns` (any subset/order of the schema)
+    * survive. When `html` is not requested the parser never copies a
+    * body — the scan still walks every record (the container is
+    * sequential) but per-record allocation drops from O(body) to
+    * O(headers): a metadata pass (url counts, status/mime stats,
+    * timestamp histograms) over TB of chunks stops paying for bytes it
+    * never reads. This is the batch twin of the streaming connector's
+    * required-column pushdown.
+    */
+  def read(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
     import spark.implicits._
+    val known = WarcStreamSource.Schema.fieldNames.toSet
+    val bad = columns.filterNot(known)
+    require(bad.isEmpty, s"unknown WARC columns: ${bad.mkString(", ")}")
+    val wantHtml = columns.contains("html")
     // same listing/filter as the streaming connector — one shared helper
     // keeps batch and streaming readers in lockstep (WarcStreamSpec
     // asserts their parity)
@@ -524,7 +553,8 @@ object Warc {
     // another gets none)
     spark.createDataset(
         spark.sparkContext.parallelize(files, math.max(files.size, 1)))
-      .flatMap(recordsIn(_, confMap))
+      .flatMap(recordsIn(_, confMap, wantHtml))
       .toDF()
+      .select(columns.map(col): _*)
   }
 }

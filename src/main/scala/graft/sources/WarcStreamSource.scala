@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -85,6 +85,11 @@ object WarcStreamSource {
   /** the session conf at driver-side planning points */
   private[sources] def driverConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** test hook: observes the (possibly pruned) schema each reader
+    * factory is created with — the pushdown assertion point
+    */
+  @volatile private[sources] var readSchemaProbe: StructType => Unit = _ => ()
 }
 
 private final class WarcStreamTable(path: String) extends Table with SupportsRead {
@@ -93,15 +98,37 @@ private final class WarcStreamTable(path: String) extends Table with SupportsRea
   override def schema(): StructType = WarcStreamSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan {
-      override def build(): Scan = this
-      override def readSchema(): StructType = WarcStreamSource.Schema
-      override def toBatch: Batch = throw new UnsupportedOperationException(
-        "batch reads go through graft.sources.Warc.read")
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new WarcMicroBatchStream(path)
-    }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming scans never see Catalyst's batch pushdown rule (it
+    // matches DataSourceV2Relation only), so the source self-registers
+    // the per-micro-batch pruning rule on the active session — zero user
+    // config, same effect (GraftExtensions also injects it for
+    // spark.sql.extensions deployments)
+    WarcStreamPruning.install(org.apache.spark.sql.SparkSession.active)
+    new WarcScan(path)
+  }
+}
+
+/** Required-column pushdown surface shared by the official hook
+  * (`SupportsPushDownRequiredColumns.pruneColumns`, exercised if Spark
+  * ever prunes streaming scans itself) and the [[WarcStreamPruning]]
+  * optimizer rule (which prunes per micro-batch today): readSchema()
+  * reflects the pruned columns, partitions emit rows in exactly that
+  * shape, and when `html` is pruned the record parser never copies a
+  * body — a url-count over TB of chunks stops materializing page bytes
+  * (the scan cost at crawl scale).
+  */
+private[sources] final class WarcScan(path: String) extends ScanBuilder
+    with Scan with SupportsPushDownRequiredColumns {
+  @volatile private[sources] var required: StructType = WarcStreamSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = throw new UnsupportedOperationException(
+    "batch reads go through graft.sources.Warc.read")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(path, this)
 }
 
 /** Offset = highest chunk-file path ingested + how many files sit at or
@@ -122,7 +149,7 @@ private object WarcOffset {
   }
 }
 
-private final class WarcMicroBatchStream(dir: String)
+private final class WarcMicroBatchStream(dir: String, scan: WarcScan)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // one conf snapshot per stream, captured at planning time on the
@@ -187,9 +214,13 @@ private final class WarcMicroBatchStream(dir: String)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cm = confMap // driver-side capture, serialized once with the factory
+    // read the scan's CURRENT required schema: the pruning rule runs
+    // during each micro-batch's optimization, i.e. before this call
+    val req = scan.required
+    WarcStreamSource.readSchemaProbe(req)
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new WarcChunkReader(partition.asInstanceOf[WarcChunkPartition].file, cm)
+        new WarcChunkReader(partition.asInstanceOf[WarcChunkPartition].file, cm, req)
     }
   }
 }
@@ -197,20 +228,29 @@ private final class WarcMicroBatchStream(dir: String)
 private final case class WarcChunkPartition(file: String) extends InputPartition
 
 /** Streams one chunk file's records as InternalRows (one gzip member at
-  * a time — the same O(largest record) bound as the batch reader).
+  * a time — the same O(largest record) bound as the batch reader),
+  * shaped to the PRUNED schema: only requested fields are converted, and
+  * a pruned `html` is never even copied out of the inflate buffer.
   */
-private final class WarcChunkReader(file: String, confMap: Map[String, String])
+private final class WarcChunkReader(file: String, confMap: Map[String, String],
+                                    required: StructType)
     extends PartitionReader[InternalRow] {
-  private val docs = Warc.recordsInFile(file, confMap)
+  private val wantHtml = required.fieldNames.contains("html")
+  private val docs = Warc.recordsInFile(file, confMap, wantHtml)
   private var current: Warc.WarcDoc = _
+  private val getters: Array[Warc.WarcDoc => Any] =
+    required.fieldNames.map[Warc.WarcDoc => Any] {
+      case "url" => d => UTF8String.fromString(d.url)
+      case "warc_ts" => d => d.warc_ts.getTime * 1000L // epoch micros
+      case "html" => d => d.html
+      case "lang" => d => UTF8String.fromString(d.lang)
+      case "http_status" => d => d.http_status
+      case "mime" => d => UTF8String.fromString(d.mime)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
   override def next(): Boolean =
     if (docs.hasNext) { current = docs.next(); true } else false
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](
-    UTF8String.fromString(current.url),
-    current.warc_ts.getTime * 1000L, // TimestampType = epoch micros
-    current.html,
-    UTF8String.fromString(current.lang),
-    current.http_status,
-    UTF8String.fromString(current.mime)))
+  override def get(): InternalRow =
+    new GenericInternalRow(getters.map(_(current)))
   override def close(): Unit = docs.close()
 }

@@ -51,6 +51,33 @@ class WarcSpec extends AnyFunSuite {
     roundTrip(gzip = false)
   }
 
+  test("projected batch read: html never copied when unrequested") {
+    val rec = graft.sources.WarcTestAccess.record(
+      "https://h0.example.org/doc/1", 1700000000000L, "en",
+      "<p>hello body</p>".getBytes("UTF-8"))
+    val full = graft.sources.WarcTestAccess.parse(rec)
+    val pruned = graft.sources.WarcTestAccess.parseNoHtml(rec)
+    assert(full.size == 1 && pruned.size == 1)
+    assert(full.head.html != null && pruned.head.html == null,
+      "pruned parse must not allocate the body")
+    assert(pruned.head.url == full.head.url &&
+      pruned.head.warc_ts == full.head.warc_ts &&
+      pruned.head.lang == full.head.lang &&
+      pruned.head.http_status == full.head.http_status &&
+      pruned.head.mime == full.head.mime,
+      "metadata fields must be identical under pruning")
+    // end-to-end: the projected read returns exactly the requested
+    // columns with the same rows as the full read
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-proj").toString
+    Warc.write(spark, graft.fixtures.Corpus.pages(spark, sfDir), dir, numFiles = 2)
+    val proj = Warc.read(spark, dir, Seq("url", "http_status"))
+    assert(proj.columns.toSeq == Seq("url", "http_status"))
+    val fullUrls = Warc.read(spark, dir).select(col("url"))
+    assert(proj.select(col("url")).exceptAll(fullUrls).count() == 0 &&
+      fullUrls.exceptAll(proj.select(col("url"))).count() == 0)
+    graft.util.Staging.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
   test("gz reader streams member-by-member: 320 MB chunk, peak allocation = one record") {
     // ~2000 records × ~160 KB inflated ≈ 320 MB — far beyond any sane
     // per-task buffer. The member-size probe records every inflated

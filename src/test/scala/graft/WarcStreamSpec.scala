@@ -48,6 +48,34 @@ class WarcStreamSpec extends AnyFunSuite {
     Seq(dir, cp).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
   }
 
+  test("required-column pushdown: a url-only query prunes html at the source") {
+    val dir = Files.createTempDirectory("graft-wstream-prune").toString
+    val cp = Files.createTempDirectory("graft-wstream-prune-cp").toString
+    Warc.write(spark, Corpus.pages(spark, sfDir), dir, numFiles = 4)
+    val schemas = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.types.StructType]())
+    graft.sources.WarcTestAccess.withReadSchemaProbe(schemas.add(_)) {
+      val q = spark.readStream.format("warc-stream").load(dir)
+        .select(col("url")) // only url survives the plan
+        .writeStream.format("memory").queryName("ws_prune_sink")
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val seen = schemas.asScala.toList
+    assert(seen.nonEmpty, "reader factory must have been created")
+    assert(seen.forall(_.fieldNames.toSeq == Seq("url")),
+      s"pushdown must reach the source; reader schemas were $seen")
+    // pruned rows still correct and complete
+    val urls = spark.table("ws_prune_sink").select(col("url"))
+    val batch = Warc.read(spark, dir).select(col("url"))
+    assert(urls.exceptAll(batch).count() == 0 && batch.exceptAll(urls).count() == 0)
+    Seq(dir, cp).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
+  }
+
   test("incremental: new chunk files drain exactly once through the offset log") {
     val dir = Files.createTempDirectory("graft-wstream-inc").toString
     val cp = Files.createTempDirectory("graft-wstream-inc-cp").toString

@@ -7,7 +7,7 @@ object WarcTestAccess {
     Warc.recordBytes(url, tsMs, lang, html)
   def parseGz(gz: Array[Byte]): Seq[Warc.WarcDoc] = {
     val r = new Warc.GzipMemberReader(new java.io.ByteArrayInputStream(gz))
-    try r.flatMap(Warc.parseChunk).toSeq finally r.close()
+    try r.flatMap(Warc.parseChunk(_)).toSeq finally r.close()
   }
   /** stream members from an InputStream (the reader's scale path) */
   def memberReader(in: java.io.InputStream): Iterator[Array[Byte]] with AutoCloseable =
@@ -17,6 +17,18 @@ object WarcTestAccess {
     val old = Warc.memberSizeProbe
     Warc.memberSizeProbe = probe
     try f finally Warc.memberSizeProbe = old
+  }
+  /** parse with the html column pruned (the pushdown scan path) */
+  def parseNoHtml(bytes: Array[Byte]): Seq[Warc.WarcDoc] =
+    Warc.parseChunk(bytes, wantHtml = false).toSeq
+  /** observe the (possibly pruned) schema each streaming reader factory
+    * gets — asserts required-column pushdown actually reached the source
+    */
+  def withReadSchemaProbe[A](probe: org.apache.spark.sql.types.StructType => Unit)
+                            (f: => A): A = {
+    val old = WarcStreamSource.readSchemaProbe
+    WarcStreamSource.readSchemaProbe = probe
+    try f finally WarcStreamSource.readSchemaProbe = old
   }
   /** streaming-offset codec (watermark, count; count -1 = legacy) */
   def parseOffset(json: String): (String, Int) = {
