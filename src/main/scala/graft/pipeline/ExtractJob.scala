@@ -75,6 +75,43 @@ object ExtractJob {
   def errors(spark: SparkSession, outputDir: String): DataFrame =
     docs(spark, outputDir).where(col("error").isNotNull).select(col("url"), col("error").as("reason"), col("pid"))
 
+  /** The extraction projection shared by the batch job and the streaming
+    * lineage sink: (url, in_bytes, extracted_text, spans, error, pid)
+    * from a page frame that already carries `pid`. Narrow and
+    * codegen-resident — runs upstream of the single pid shuffle.
+    */
+  private[pipeline] def extractColumns(withPid: DataFrame): DataFrame =
+    withPid
+      .select(
+        col("url"),
+        coalesce(length(col("html")).cast("long"), lit(0L)).as("in_bytes"),
+        call_function("extract_content", col("url"), col("html"), col("lang")).as("r"),
+        col("pid"))
+      .select(col("url"), col("in_bytes"),
+        col("r.extracted_text").as("extracted_text"),
+        col("r.spans").as("spans"),
+        col("r.error").as("error"),
+        col("pid"))
+
+  /** Per-pid lineage aggregate over WRITTEN docs rows. The digest is
+    * md5-60bit (not xxhash64): any external system — DuckDB, Trino, a
+    * Python auditor — can recompute the per-partition digest from the
+    * written parquet alone and verify lineage integrity without running
+    * this engine (same construction as x_lineage / DigestAggregator).
+    */
+  private[pipeline] def lineageAgg(written: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rec = digestRecord(col("url"), col("extracted_text"), col("error"))
+    written.groupBy(col("pid")).agg(
+      count(lit(1)).as("rows"),
+      sum("in_bytes").as("bytes"),
+      sum(pmod(conv(substring(md5(rec), 1, 15), 16, 10).cast("long"), lit(1000000007L))).as("dig"),
+      sum(when(col("error").isNull, 1L).otherwise(0L)).as("ok"),
+      sum(when(col("error") === "validation", 1L).otherwise(0L)).as("f_val"),
+      sum(when(col("error") === "payload", 1L).otherwise(0L)).as("f_pay"),
+      sum(when(col("error") === "unexpected", 1L).otherwise(0L)).as("f_unx"))
+      .collect()
+  }
+
   /** Run (or resume) the extraction over a page table. Returns the run
     * report; a no-op (everything committed) returns a zero report.
     */
@@ -105,17 +142,7 @@ object ExtractJob {
       .withColumn("pid", pidCol(cfg.numPids))
       .where(col("pid").isin(runPids: _*))
 
-    val extracted = withPid
-      .select(
-        col("url"),
-        coalesce(length(col("html")).cast("long"), lit(0L)).as("in_bytes"),
-        call_function("extract_content", col("url"), col("html"), col("lang")).as("r"),
-        col("pid"))
-      .select(col("url"), col("in_bytes"),
-        col("r.extracted_text").as("extracted_text"),
-        col("r.spans").as("spans"),
-        col("r.error").as("error"),
-        col("pid"))
+    val extracted = extractColumns(withPid)
       .repartition(cfg.numPids, col("pid"))
 
     extracted.write.mode(SaveMode.Overwrite).partitionBy("pid")
@@ -129,21 +156,7 @@ object ExtractJob {
     // lineage + metrics from the WRITTEN output (column-pruned read of the
     // small result table — never a second pass over the raw html)
     val written = docs(spark, cfg.outputDir).where(col("pid").isin(runPids: _*))
-    // digest is md5-60bit (not xxhash64): any external system — DuckDB,
-    // Trino, a Python auditor — can recompute the per-partition digest
-    // from the written parquet alone and verify lineage integrity
-    // without running this engine (same construction as x_lineage /
-    // DigestAggregator)
-    val rec = digestRecord(col("url"), col("extracted_text"), col("error"))
-    val agg = written.groupBy(col("pid")).agg(
-      count(lit(1)).as("rows"),
-      sum("in_bytes").as("bytes"),
-      sum(pmod(conv(substring(md5(rec), 1, 15), 16, 10).cast("long"), lit(1000000007L))).as("dig"),
-      sum(when(col("error").isNull, 1L).otherwise(0L)).as("ok"),
-      sum(when(col("error") === "validation", 1L).otherwise(0L)).as("f_val"),
-      sum(when(col("error") === "payload", 1L).otherwise(0L)).as("f_pay"),
-      sum(when(col("error") === "unexpected", 1L).otherwise(0L)).as("f_unx"))
-      .collect()
+    val agg = lineageAgg(written)
 
     val byPid = agg.map(r => r.getInt(0) -> r).toMap
     import spark.implicits._

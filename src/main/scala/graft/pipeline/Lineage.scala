@@ -29,20 +29,78 @@ object Lineage {
 
   private def manifestPath(outputDir: String): Path = Paths.get(outputDir, "_lineage", "manifest.json")
 
-  /** (snapshot counter, committed pids) — (0, empty) when no manifest. */
-  def readManifest(outputDir: String): (Long, Set[Int]) = {
+  /** Full manifest state. `epochs` tracks streaming micro-batches already
+    * committed (the foreachBatch replay-dedup axis — Spark's checkpoint
+    * can replay the last batch after a crash between our commit and its
+    * offset-log write); `schemas` records the WRITER column list per
+    * snapshot (the Iceberg schema-evolution analog: readers union by
+    * name, with nulls for columns a snapshot predates).
+    */
+  final case class Manifest(snapshot: Long, pids: Set[Int], epochs: Set[Long],
+                            schemas: Map[Long, Seq[String]])
+
+  def readManifestFull(outputDir: String): Manifest = {
     val p = manifestPath(outputDir)
-    if (!Files.exists(p)) return (0L, Set.empty)
+    if (!Files.exists(p)) return Manifest(0L, Set.empty, Set.empty, Map.empty)
     val s = new String(Files.readAllBytes(p), "UTF-8")
     // minimal parser for our own writer's format:
-    // {"snapshot":N,"committed_pids":[1,2,3]}
-    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-    val pids = "\\[([0-9,\\s]*)\\]".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-    (snap, pids)
+    // {"snapshot":N,"committed_pids":[..],"epochs":[..],
+    //  "schemas":{"1":["a","b"],..}} — field-keyed regexes, so unknown
+    // fields and field order never matter, and legacy manifests (pids
+    // only) parse with empty epochs/schemas
+    def longs(field: String): Seq[Long] =
+      (s"""\"$field\"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    val snap = "\"snapshot\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
+    // legacy manifests wrote committed_pids as the only bracket list; the
+    // named regex still matches them (the field name was the same)
+    val pids = longs("committed_pids").map(_.toInt).toSet
+    val epochs = longs("epochs").toSet
+    val schemas = "\"(\\d+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(s)
+      .map { m =>
+        m.group(1).toLong ->
+          "\"([^\"]*)\"".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      }.toMap
+    Manifest(snap, pids, epochs, schemas)
+  }
+
+  private def writeManifest(outputDir: String, m: Manifest): Unit = {
+    val schemasJson = m.schemas.toSeq.sortBy(_._1).map { case (k, cols) =>
+      s""""$k":[${cols.map(c => s""""$c"""").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"snapshot":${m.snapshot},""" +
+      s""""committed_pids":[${m.pids.toSeq.sorted.mkString(",")}],""" +
+      s""""epochs":[${m.epochs.toSeq.sorted.mkString(",")}],""" +
+      s""""schemas":$schemasJson}"""
+    val dir = Paths.get(outputDir, "_lineage")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"manifest.tmp.${m.snapshot}")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(outputDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (snapshot counter, committed pids) — (0, empty) when no manifest. */
+  def readManifest(outputDir: String): (Long, Set[Int]) = {
+    val m = readManifestFull(outputDir)
+    (m.snapshot, m.pids)
   }
 
   def committedPids(outputDir: String): Set[Int] = readManifest(outputDir)._2
+
+  /** Has streaming micro-batch `epochId` already been committed? (The
+    * foreachBatch replay guard.)
+    */
+  def epochCommitted(outputDir: String, epochId: Long): Boolean =
+    readManifestFull(outputDir).epochs.contains(epochId)
+
+  /** Writer schema recorded for snapshot `snap` (empty for legacy
+    * pre-schema-tracking snapshots).
+    */
+  def schemaAt(outputDir: String, snap: Long): Seq[String] =
+    readManifestFull(outputDir).schemas.getOrElse(snap, Nil)
 
   /** Single-writer enforcement: the commit protocol (dynamic partition
     * overwrite + manifest rename) is crash-safe but NOT multi-writer-safe
@@ -96,8 +154,38 @@ object Lineage {
     * leaves an orphan directory that (a) readers never see — table()/
     * tableAt() bound reads by the COMMITTED snapshot — and (b) the retry
     * overwrites in place, so no duplicate rows can ever accumulate.
+    *
+    * SCHEMA EVOLUTION: the written columns are the four base lineage
+    * fields plus any EXTRA columns the caller's frame carries; the
+    * column list is recorded in the manifest under the new snapshot
+    * (the Iceberg writer-schema analog). Readers union snapshots by
+    * name — a column added in snapshot K reads as null for rows of
+    * snapshots < K — so a 100-TB table never rewrites history to add a
+    * field.
     */
   def commit(spark: SparkSession, outputDir: String, lineage: DataFrame): Unit = {
+    commitInternal(spark, outputDir, lineage, epoch = None)
+    ()
+  }
+
+  /** Streaming micro-batch commit: same snapshot protocol, plus the
+    * epoch id is recorded so a foreachBatch REPLAY of an already-
+    * committed batch (crash between our commit and Spark's offset-log
+    * write) is detected by [[epochCommitted]] and skipped — no duplicate
+    * lineage rows, no double-counted docs. Returns false when the epoch
+    * was already committed (nothing written).
+    */
+  def commitEpoch(spark: SparkSession, outputDir: String, lineage: DataFrame,
+                  epochId: Long): Boolean = {
+    if (epochCommitted(outputDir, epochId)) return false
+    commitInternal(spark, outputDir, lineage, epoch = Some(epochId))
+    true
+  }
+
+  private val BaseCols = Seq("partition_id", "rows", "bytes", "digest")
+
+  private def commitInternal(spark: SparkSession, outputDir: String,
+                             lineage: DataFrame, epoch: Option[Long]): Unit = {
     // guard against the pre-snapshot layout (flat parquet with an offset
     // COLUMN directly under data/): mixing it with offset=N partition
     // dirs breaks Spark's partition discovery at read time — fail the
@@ -116,9 +204,11 @@ object Lineage {
         }
       } finally legacy.close()
     }
-    val (snap, already) = readManifest(outputDir)
-    val newSnap = snap + 1
-    val stamped = lineage.select("partition_id", "rows", "bytes", "digest")
+    val m = readManifestFull(outputDir)
+    val newSnap = m.snapshot + 1
+    val extras = lineage.columns.filterNot(BaseCols.contains).toSeq
+    val cols = BaseCols ++ extras
+    val stamped = lineage.select(cols.head, cols.tail: _*)
     stamped.write.mode(SaveMode.Overwrite)
       .parquet(s"$outputDir/_lineage/data/offset=$newSnap")
     // collect the committed pids from the WRITTEN snapshot, not by
@@ -127,14 +217,11 @@ object Lineage {
     // input plan re-run could commit pids that were never written)
     val pids = spark.read.parquet(s"$outputDir/_lineage/data/offset=$newSnap")
       .select("partition_id").collect().map(_.getInt(0)).toSet
-    val all = (already ++ pids).toSeq.sorted
-    val json = s"""{"snapshot":$newSnap,"committed_pids":[${all.mkString(",")}]}"""
-    val dir = Paths.get(outputDir, "_lineage")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s"manifest.tmp.$newSnap")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(outputDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeManifest(outputDir, Manifest(
+      snapshot = newSnap,
+      pids = m.pids ++ pids,
+      epochs = m.epochs ++ epoch,
+      schemas = m.schemas + (newSnap -> cols)))
   }
 
   /** The lineage table as a DataFrame (latest snapshot per pid). */
@@ -147,13 +234,20 @@ object Lineage {
     * crashed commit is invisible (only manifest-referenced snapshots
     * exist to readers). The `offset` column is the partition directory —
     * Spark prunes un-read snapshots at the file listing.
+    *
+    * Schema evolution (manifest `schemas`): snapshots may carry
+    * different writer schemas; `mergeSchema` unions them BY NAME, so a
+    * column added in a later snapshot reads as null on earlier rows —
+    * exactly Iceberg's add-column semantics, with the per-snapshot
+    * writer schema auditable via [[schemaAt]].
     */
   def tableAt(spark: SparkSession, outputDir: String, snap: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val (committedSnap, _) = readManifest(outputDir)
     val bound = math.min(snap, committedSnap)
-    val raw = spark.read.parquet(s"$outputDir/_lineage/data")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$outputDir/_lineage/data")
       .where(col("offset") <= bound)
     val w = Window.partitionBy(col("partition_id")).orderBy(col("offset").desc)
     raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")

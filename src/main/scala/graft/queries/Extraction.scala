@@ -347,7 +347,46 @@ object Extraction {
         .agg(count(lit(1)).as("n_rows"),
           sum(length(coalesce(col("extracted_text"), lit("")))).as("chars"),
           sum(pmod(fp60(col("rec")), lit(1000000007L))).as("digest"))
-        .orderBy(col("qpid"))))
+        .orderBy(col("qpid"))),
+
+    // SCHEMA EVOLUTION through the snapshot manifest (the Iceberg
+    // add-column analog): snapshot 1 writes the v1 lineage schema
+    // (partition_id, rows, bytes, digest) for pids 0-7; snapshot 2 — a
+    // later run over the odd half — writes pids 4-11 WITH an added
+    // `files` column. The manifest records each snapshot's writer
+    // schema; Lineage.table reconciles BY NAME (mergeSchema), so
+    // latest-per-pid reads pids 0-3 from snapshot 1 with `files` null
+    // and pids 4-11 from snapshot 2 with it populated — no rewrite of
+    // snapshot-1 data. The table is built ONCE per corpus content
+    // (keyed staging); the oracle replays both snapshots' arithmetic
+    // plus the latest-wins merge in SQL against documents alone.
+    "x_schema_evolution" -> ((s, dir) => {
+      val tbl = graft.util.Staging.keyedArtifact("linevo", dir, 1)(p =>
+        graft.pipeline.Lineage.readManifest(p.toString)._1 == 2L) { out =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val s1 = d.withColumn("partition_id", (col("doc_id") % 8).cast("int"))
+          .groupBy(col("partition_id"))
+          .agg(count(lit(1)).as("rows"),
+            sum(coalesce(length(col("text")), lit(0))).cast("long").as("bytes"),
+            sum(pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+              .cast("string").as("digest"))
+        graft.pipeline.Lineage.commit(s, out, s1)
+        val s2 = d.where(col("doc_id") % 2 === 1)
+          .withColumn("partition_id", (col("doc_id") % 12).cast("int"))
+          .where(col("partition_id") >= 4)
+          .groupBy(col("partition_id"))
+          .agg(count(lit(1)).as("rows"),
+            sum(coalesce(length(col("text")), lit(0))).cast("long").as("bytes"),
+            sum(pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+              .cast("string").as("digest"),
+            countDistinct(col("doc_id") % 5).as("files")) // the ADDED column
+        graft.pipeline.Lineage.commit(s, out, s2)
+      }
+      graft.pipeline.Lineage.table(s, tbl)
+        .select(col("partition_id"), col("rows"), col("bytes"),
+          col("digest"), col("files"), col("offset").cast("int").as("snap"))
+        .orderBy(col("partition_id"))
+    }))
 
   /** Per-variant constant byte count preceding the base64 body, probed
     * from the REAL page builder at SQL-generation time: every other
@@ -628,5 +667,32 @@ object Extraction {
          |SELECT qpid, count(*) AS n_rows,
          |  CAST(sum(chars) AS BIGINT) AS chars,
          |  CAST(sum(h) AS BIGINT) AS digest
-         |FROM keyed GROUP BY 1 ORDER BY qpid""".stripMargin)
+         |FROM keyed GROUP BY 1 ORDER BY qpid""".stripMargin,
+
+    "x_schema_evolution" ->
+      """WITH s1 AS (
+        |  SELECT CAST(doc_id % 8 AS INT) AS partition_id,
+        |    count(*) AS "rows",
+        |    CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS bytes,
+        |    CAST(CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+        |      AS VARCHAR) AS digest
+        |  FROM documents GROUP BY 1),
+        |s2 AS (
+        |  SELECT CAST(doc_id % 12 AS INT) AS partition_id,
+        |    count(*) AS "rows",
+        |    CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS bytes,
+        |    CAST(CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+        |      AS VARCHAR) AS digest,
+        |    CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS files
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 >= 4
+        |  GROUP BY 1)
+        |-- latest-wins merge: snapshot 2 overrides the pids it rewrote;
+        |-- snapshot-1-only pids surface with the added column NULL
+        |SELECT partition_id, "rows", bytes, digest,
+        |  CAST(NULL AS BIGINT) AS files, 1 AS snap
+        |FROM s1 WHERE partition_id NOT IN (SELECT partition_id FROM s2)
+        |UNION ALL
+        |SELECT partition_id, "rows", bytes, digest, files, 2 AS snap
+        |FROM s2
+        |ORDER BY partition_id""".stripMargin)
 }

@@ -105,7 +105,15 @@ private final class WarcStreamTable(path: String) extends Table with SupportsRea
     // config, same effect (GraftExtensions also injects it for
     // spark.sql.extensions deployments)
     WarcStreamPruning.install(org.apache.spark.sql.SparkSession.active)
-    new WarcScan(path)
+    // admission control (the Kafka maxOffsetsPerTrigger analog): at most
+    // N chunk files per micro-batch — bounds batch size/latency on a big
+    // backlog and gives restart tests real multi-batch offset logs
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+    new WarcScan(path, maxFiles)
   }
 }
 
@@ -118,8 +126,9 @@ private final class WarcStreamTable(path: String) extends Table with SupportsRea
   * body — a url-count over TB of chunks stops materializing page bytes
   * (the scan cost at crawl scale).
   */
-private[sources] final class WarcScan(path: String) extends ScanBuilder
-    with Scan with SupportsPushDownRequiredColumns {
+private[sources] final class WarcScan(path: String,
+                                      val maxFilesPerTrigger: Option[Int] = None)
+    extends ScanBuilder with Scan with SupportsPushDownRequiredColumns {
   @volatile private[sources] var required: StructType = WarcStreamSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -181,11 +190,34 @@ private final class WarcMicroBatchStream(dir: String, scan: WarcScan)
   override def initialOffset(): Offset = WarcOffset("", 0)
   override def deserializeOffset(json: String): Offset = WarcOffset.parse(json)
   override def latestOffset(): Offset = frozenLatest.getOrElse(currentOffset())
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
-  // rate limiting — every batch admits all files up to the horizon
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): with
+  // maxFilesPerTrigger set, each batch admits at most that many files
+  // above `start` (AvailableNow keeps running batches until the frozen
+  // horizon is reached); without it, every batch takes the full horizon
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val horizon = frozenLatest.getOrElse(currentOffset())
+    scan.maxFilesPerTrigger match {
+      case None => horizon
+      case Some(m) =>
+        val lo = start.asInstanceOf[WarcOffset]
+        val files = lastSnapshot match {
+          case Some((off, fs)) if off == horizon => fs
+          case _ => WarcStreamSource.listChunks(dir, WarcStreamSource.driverConf())
+        }
+        val inHorizon = files.filter(_ <= horizon.watermark)
+        val pending = inHorizon.filter(_ > lo.watermark)
+        if (pending.isEmpty) horizon
+        else {
+          val admitted = pending.take(m)
+          val off = WarcOffset(admitted.last,
+            inHorizon.count(_ <= admitted.last))
+          // planInputPartitions must see the listing this offset came from
+          lastSnapshot = Some((off, files))
+          off
+        }
+    }
+  }
   override def commit(end: Offset): Unit = () // offset log is the ledger
   override def stop(): Unit = ()
 

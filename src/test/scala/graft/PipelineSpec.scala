@@ -216,6 +216,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(snap2.count() == 1 && snap2.select("digest").head.getString(0) == "42")
   }
 
+  test("manifest: legacy format parses; new commits record writer schemas") {
+    import spark.implicits._
+    val out = freshDir("manifest-evo")
+    // a round-4 manifest (no epochs/schemas fields) must keep parsing
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "_lineage"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_lineage", "manifest.json"),
+      """{"snapshot":3,"committed_pids":[1,2,5]}""".getBytes("UTF-8"))
+    val legacy = Lineage.readManifestFull(out)
+    assert(legacy.snapshot == 3 && legacy.pids == Set(1, 2, 5))
+    assert(legacy.epochs.isEmpty && legacy.schemas.isEmpty)
+
+    // a new commit on top: schema recorded per snapshot, evolution via
+    // an extra column in the NEXT snapshot, union-by-name read
+    Lineage.commit(spark, out,
+      Seq((0, 2L, 10L, "7")).toDF("partition_id", "rows", "bytes", "digest"))
+    Lineage.commit(spark, out,
+      Seq((1, 3L, 20L, "8", 4L))
+        .toDF("partition_id", "rows", "bytes", "digest", "files"))
+    assert(Lineage.schemaAt(out, 4) ==
+      Seq("partition_id", "rows", "bytes", "digest"))
+    assert(Lineage.schemaAt(out, 5) ==
+      Seq("partition_id", "rows", "bytes", "digest", "files"))
+    val t = Lineage.table(spark, out).orderBy(col("partition_id"))
+      .select(col("partition_id"), col("files")).as[(Int, Option[Long])].collect()
+    assert(t.toSeq == Seq((0, None), (1, Some(4L))),
+      "added column must read null on pre-evolution snapshots")
+  }
+
   test("typed Aggregator digest matches the relational md5 digest (UDAF surface)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
