@@ -39,7 +39,29 @@ object SparkEntry {
       "st_dedup" -> ((s, dir) => StreamingExtract.dedupStream(s, dir, "st_dedup_sink")),
       "st_enrich" -> ((s, dir) => StreamingExtract.enrichStream(s, dir, "st_enrich_sink")),
       "st_extract" -> ((s, dir) => StreamingExtract.extractStream(s, dir)),
-      "st_warc" -> ((s, dir) => StreamingExtract.warcStream(s, dir, "st_warc_sink")))
+      "st_warc" -> ((s, dir) => StreamingExtract.warcStream(s, dir, "st_warc_sink")),
+      // the CONTINUOUS-CRAWL production path: warc-stream micro-batches
+      // (2 chunks per epoch) committed through the same lineage/manifest
+      // protocol as the batch job (StreamingLineage), then read back from
+      // the committed table. Content-keyed staging: the stream runs once
+      // per corpus content; re-runs probe the committed table. The oracle
+      // replays the WARC-visible extraction contract INCLUDING the error
+      // routing (errors are data in the lineage-committed table).
+      "st_lineage" -> ((s, dir) => {
+        val tbl = graft.util.Staging.keyedArtifact("stlineage", dir, 1)(p =>
+          graft.pipeline.Lineage.readManifestFull(p.toString).epochs.nonEmpty) {
+          out =>
+            val warcDir = graft.queries.Extraction.warcStaged(s, dir)
+            graft.pipeline.StreamingLineage.run(s, warcDir, out,
+              s"$out/_checkpoint", numPids = 8, maxFilesPerTrigger = Some(2))
+        }
+        import org.apache.spark.sql.functions._
+        graft.pipeline.StreamingLineage.docs(s, tbl)
+          .select(
+            element_at(split(col("url"), "/"), -1).cast("long").as("doc_id"),
+            col("extracted_text"), col("error"))
+          .orderBy(col("doc_id"))
+      }))
 
   /** DuckDB-equivalent SQL per query (driver's correctness gate). Queries
     * without an entry (s_ann_ivf) get the weaker rows-only check — their
@@ -58,6 +80,18 @@ object SparkEntry {
       // WARC ingestion through the DSv2 streaming connector = the batch
       // WARC round trip, byte-for-byte per doc
       "st_warc" -> Extraction.oracles("x_warc"),
+      // the lineage-committed streaming table = the WARC-visible batch
+      // extraction INCLUDING error routing: null-html pages (%20==13,
+      // the validation class) produce no WARC record at all; payload/
+      // unexpected rows survive as data with their reason codes
+      "st_lineage" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id%20 IN (3, 19) THEN NULL
+          |       WHEN doc_id%20 = 7 THEN '' ELSE text END AS extracted_text,
+          |  CASE WHEN doc_id%20 = 3 THEN 'unexpected'
+          |       WHEN doc_id%20 = 19 THEN 'payload' END AS error
+          |FROM documents WHERE doc_id%20 <> 13
+          |ORDER BY doc_id""".stripMargin,
       // watermarked append mode: exactly the windows closed by
       // (global max event time − 10 min)
       // stream-static enrichment = the plain batch join
