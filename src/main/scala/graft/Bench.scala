@@ -77,11 +77,22 @@ object Bench {
     val mbPerSec = bytes / 1e6 / extractSec
 
     // --- WARC metadata-pass pruning delta --------------------------------
-    // url-count over the staged WARC chunks, full-schema vs projected
+    // url-count over an AMPLIFIED staged WARC corpus (the x_warc staging
+    // is only ~425 records — pure setup noise), full-schema vs projected
     // read: the projected path walks the same records but never copies a
     // body — the delta IS the html materialization cost a metadata pass
     // saves (mirrors the streaming connector's required-column pushdown)
-    val warcDir = graft.queries.Extraction.warcStaged(spark, sfDir)
+    // row count ×4, body size ×64 (~60 KB/page — the Common-Crawl shape;
+    // the fixture's ~1 KB pages are inflate-dominated and would hide the
+    // body-copy saving entirely) ≈ 120 MB of html in 32 chunk files
+    val warcAmp = 4
+    val warcDir = graft.util.Staging.keyedArtifact(
+      s"warcbench-x$warcAmp", sfDir, graft.fixtures.PageHtml.CorpusVersion)(p =>
+      java.nio.file.Files.exists(p.resolve("_SUCCESS"))) { out =>
+      graft.sources.Warc.write(spark,
+        Corpus.pagesAmplified(spark, sfDir, warcAmp, repeatText = 64),
+        out, numFiles = 32)
+    }
     def timeCount(df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       df.count()

@@ -1,6 +1,7 @@
 package graft.fixtures
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_repeat, concat_ws}
 import java.sql.Timestamp
 
 /** Deterministic page-corpus generator: derives the Common-Crawl-style
@@ -42,10 +43,22 @@ object Corpus {
     * replicas with distinct doc ids / urls (id + r·10^7), so pid spread,
     * host skew and span routing all behave as at larger scale.
     */
-  def pagesAmplified(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  def pagesAmplified(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    pagesAmplified(spark, sfDir, k, repeatText = 1)
+
+  /** `repeatText > 1` fattens each document's text ×N before the page
+    * builds — Common-Crawl pages average ~100 KB vs the fixture's ~1 KB,
+    * so size-sensitive micro-benches (the WARC pruning delta) need
+    * realistic bodies, not just row counts.
+    */
+  def pagesAmplified(spark: SparkSession, sfDir: String, k: Int,
+                     repeatText: Int): DataFrame = {
     import spark.implicits._
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
+    val base = if (repeatText <= 1) base0
+      else base0.select($"doc_id",
+        concat_ws(" ", array_repeat($"text", repeatText)).as("text"), $"lang")
     val rep = if (k <= 1) base
       else base.crossJoin(spark.range(k).toDF("r"))
         .select(($"doc_id" + $"r" * 10000000L).as("doc_id"), $"text", $"lang")

@@ -64,6 +64,7 @@ object StreamingLineage {
       val pages = reader.load(warcDir)
         .select(col("url"), col("warc_ts"), col("html"), col("lang"))
       val q = pages.writeStream
+        .queryName("st_lineage_sink")
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
           val committed = commitBatch(spark, batch, outputDir, numPids, epochId)

@@ -111,6 +111,8 @@ object StreamingExtract {
         val out = extractTransform(pages)
         val q = out.writeStream
           .format("parquet")
+          .queryName("st_extract_sink") // named: the bench's listener feed
+          // merges rows/s by name instead of per-run UUIDs
           .option("path", outDir)
           .option("checkpointLocation", checkpoint)
           .trigger(Trigger.AvailableNow())
