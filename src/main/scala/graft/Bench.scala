@@ -76,6 +76,11 @@ object Bench {
     val docsPerSec = docs / extractSec
     val mbPerSec = bytes / 1e6 / extractSec
 
+    // scaling-matrix runs only need extract_sec — they skip both the
+    // query sweep AND the WARC micro-bench below (a skipped run must not
+    // pay a 120 MB staging probe + 7 timed scans it never reports)
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+
     // --- WARC metadata-pass pruning delta --------------------------------
     // url-count over an AMPLIFIED staged WARC corpus (the x_warc staging
     // is only ~425 records — pure setup noise), full-schema vs projected
@@ -85,28 +90,31 @@ object Bench {
     // row count ×4, body size ×64 (~60 KB/page — the Common-Crawl shape;
     // the fixture's ~1 KB pages are inflate-dominated and would hide the
     // body-copy saving entirely) ≈ 120 MB of html in 32 chunk files
-    val warcAmp = 4
-    val warcDir = graft.util.Staging.keyedArtifact(
-      s"warcbench-x$warcAmp", sfDir, graft.fixtures.PageHtml.CorpusVersion)(p =>
-      java.nio.file.Files.exists(p.resolve("_SUCCESS"))) { out =>
-      graft.sources.Warc.write(spark,
-        Corpus.pagesAmplified(spark, sfDir, warcAmp, repeatText = 64),
-        out, numFiles = 32)
-    }
-    def timeCount(df: => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    timeCount(graft.sources.Warc.read(spark, warcDir)) // warm-up
-    val warcFullSec = (1 to 3).map(_ =>
-      timeCount(graft.sources.Warc.read(spark, warcDir).select(col("url")))).min
-    val warcPrunedSec = (1 to 3).map(_ =>
-      timeCount(graft.sources.Warc.read(spark, warcDir, Seq("url")))).min
+    val (warcFullSec, warcPrunedSec) =
+      if (skipQueries) (-1.0, -1.0)
+      else {
+        val warcAmp = 4
+        val warcDir = graft.util.Staging.keyedArtifact(
+          s"warcbench-x$warcAmp", sfDir, graft.fixtures.PageHtml.CorpusVersion)(p =>
+          java.nio.file.Files.exists(p.resolve("_SUCCESS"))) { out =>
+          graft.sources.Warc.write(spark,
+            Corpus.pagesAmplified(spark, sfDir, warcAmp, repeatText = 64),
+            out, numFiles = 32)
+        }
+        def timeCount(df: => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          df.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timeCount(graft.sources.Warc.read(spark, warcDir)) // warm-up
+        val full = (1 to 3).map(_ =>
+          timeCount(graft.sources.Warc.read(spark, warcDir).select(col("url")))).min
+        val pruned = (1 to 3).map(_ =>
+          timeCount(graft.sources.Warc.read(spark, warcDir, Seq("url")))).min
+        (full, pruned)
+      }
 
     // --- headline query timings ------------------------------------------
-    // (skippable for scaling-matrix runs that only need extract_sec)
-    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     val qs =
       if (skipQueries)
         Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]

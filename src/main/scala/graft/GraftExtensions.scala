@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"nfc_normalize requires exactly 1 argument, got ${exprs.length}")
         NfcNormalize(exprs(0))
       }))
+    // streaming required-column pushdown for the warc-stream connector:
+    // Catalyst's V2ScanRelationPushDown never visits streaming scans, so
+    // the rule rides the optimizer directly (no-op for plans without a
+    // WarcScan relation; the source also self-installs it on scan
+    // creation for sessions configured without extensions)
+    ext.injectOptimizerRule(_ => graft.sources.WarcStreamPruning)
   }
 }

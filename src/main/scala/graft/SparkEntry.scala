@@ -48,7 +48,11 @@ object SparkEntry {
       // replays the WARC-visible extraction contract INCLUDING the error
       // routing (errors are data in the lineage-committed table).
       "st_lineage" -> ((s, dir) => {
-        val tbl = graft.util.Staging.keyedArtifact("stlineage", dir, 1)(p =>
+        // versioned by the PAGE contract, not a literal: the table's
+        // bytes derive from warcStaged (a function of CorpusVersion), so
+        // a corpus-version bump must re-key this artifact too
+        val tbl = graft.util.Staging.keyedArtifact("stlineage", dir,
+          graft.fixtures.PageHtml.CorpusVersion)(p =>
           graft.pipeline.Lineage.readManifestFull(p.toString).epochs.nonEmpty) {
           out =>
             val warcDir = graft.queries.Extraction.warcStaged(s, dir)

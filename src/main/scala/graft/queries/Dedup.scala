@@ -263,8 +263,11 @@ object Dedup {
 
     // exact n-gram Jaccard near-dup pairs (all-pairs shingle join) — the
     // correctness baseline; O(pairs sharing a shingle), fine at test SF,
-    // replaced by LSH at scale
-    "d_jaccard_pairs" -> ((s, dir) => verifiedPairs(shingles(docs(s, dir)), None)),
+    // replaced by LSH at scale. Shingles cached for the query's lifetime
+    // (both self-join sides + the size table read them) and released at
+    // the harness boundary like every other query-internal cache.
+    "d_jaccard_pairs" -> ((s, dir) =>
+      verifiedPairs(graft.util.CacheScope.cached(shingles(docs(s, dir))), None)),
 
     // MinHash + LSH banding: 64-perm signatures from ONE string hash per
     // shingle (typed MinHashAggregator — map-side combining, no 64-way

@@ -85,18 +85,28 @@ object WarcStreamPruning extends Rule[LogicalPlan] {
       case _ => ()
     }
 
+    // reset every scan to full width FIRST: the reader schema must track
+    // the CURRENT plan, not the narrowest plan ever optimized — a pruned
+    // count followed by a full-width write over the same scan (two
+    // actions in one foreachBatch body) must widen back, or the second
+    // action's readers emit narrower rows than its plan expects
+    ours.foreach(r => r.scan.asInstanceOf[WarcScan].required =
+      WarcStreamSource.Schema)
+
     plan.transform {
       case r: Rel if isOurs(r) && !fullScans.contains(r.scan) &&
           reqNames.containsKey(r.scan) =>
         val names = reqNames.get(r.scan.asInstanceOf[WarcScan])
         val kept0 = r.output.filter(a => names.contains(a.name))
         val kept = if (kept0.isEmpty) Seq(r.output.head) else kept0
+        // required is assigned in BOTH branches: this rule sits in a
+        // fixed-point batch, so a later pass re-visits the already-pruned
+        // relation (kept == output) after the reset above wiped required
+        // back to full — it must re-narrow even when the PLAN is stable
+        r.scan.asInstanceOf[WarcScan].required = StructType(
+          kept.map(a => StructField(a.name, a.dataType, a.nullable)))
         if (kept.length == r.output.length) r
-        else {
-          r.scan.asInstanceOf[WarcScan].required = StructType(
-            kept.map(a => StructField(a.name, a.dataType, a.nullable)))
-          r.copy(output = kept)
-        }
+        else r.copy(output = kept)
     }
   }
 

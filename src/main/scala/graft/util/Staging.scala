@@ -145,13 +145,29 @@ object Staging {
               })
           val crashedTemp =
             n.startsWith(s".graft-$prefix-") && n.contains(".build-") &&
-              (try Files.getLastModifiedTime(p).toMillis < cutoff
-              catch { case _: java.io.IOException => false })
+              newestMtime(p) < cutoff
           staleKeyed || crashedTemp
         }
         .toSeq.foreach(deleteRec)
     } finally st.close()
   }
+
+  /** Newest mtime anywhere in the tree (Long.MaxValue on IO error — err
+    * on "alive"). A long build writes only into SUBdirectories, which
+    * never bumps the root's mtime — judging liveness by the root alone
+    * would sweep a live >1h build mid-write.
+    */
+  private def newestMtime(d: Path): Long =
+    try {
+      val s = Files.walk(d, 4)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(p => try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue })
+          .foldLeft(0L)(math.max)
+      } finally s.close()
+    } catch { case _: java.io.IOException => Long.MaxValue }
 
   /** best-effort recursive delete */
   def deleteRec(d: Path): Unit =

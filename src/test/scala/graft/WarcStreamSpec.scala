@@ -76,6 +76,32 @@ class WarcStreamSpec extends AnyFunSuite {
     Seq(dir, cp).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
   }
 
+  test("pruning resets per action: pruned count then full-width read in one batch") {
+    val dir = Files.createTempDirectory("graft-wstream-reset").toString
+    val cp = Files.createTempDirectory("graft-wstream-reset-cp").toString
+    Warc.write(spark, Corpus.pages(spark, sfDir), dir, numFiles = 2)
+    @volatile var urlCount = -1L
+    @volatile var fullWidth = -1
+    @volatile var htmlOk = false
+    val q = spark.readStream.format("warc-stream").load(dir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        urlCount = b.select(col("url")).count() // prunes the scan to [url]
+        val rows = b.collect() // full width — required schema must WIDEN back
+        fullWidth = rows.headOption.map(_.length).getOrElse(-1)
+        htmlOk = rows.forall(r => r.getAs[Array[Byte]]("html") != null)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(urlCount > 0)
+    assert(fullWidth == 6, s"full-width action after a pruned one saw $fullWidth cols")
+    assert(htmlOk, "html must be materialized again after a pruned action")
+    Seq(dir, cp).foreach(d => graft.util.Staging.deleteRec(Paths.get(d)))
+  }
+
   test("incremental: new chunk files drain exactly once through the offset log") {
     val dir = Files.createTempDirectory("graft-wstream-inc").toString
     val cp = Files.createTempDirectory("graft-wstream-inc-cp").toString
