@@ -386,6 +386,30 @@ object Extraction {
         .select(col("partition_id"), col("rows"), col("bytes"),
           col("digest"), col("files"), col("offset").cast("int").as("snap"))
         .orderBy(col("partition_id"))
+    }),
+
+    // CRAWL FRONTIER scheduling — the operator a continuous crawl runs
+    // between ranking and fetching: compose the politeness gate
+    // (x_robots — per-url allowed + Crawl-delay for our token) with the
+    // host-rank signal (x_host_rank — integer PageRank) into a per-host
+    // fetch schedule: how many urls may be fetched, at what delay, how
+    // long a single polite worker needs to drain the host (n_allowed ×
+    // max(delay, 1 s)), priority-ordered by rank. Composes two existing
+    // operators — hosts ≪ docs, so the rank join broadcasts and the only
+    // per-doc work is the map-side robots evaluation + one host groupBy.
+    "x_frontier" -> ((s, dir) => {
+      val rank = defs("x_host_rank")(s, dir)
+      val rob = defs("x_robots")(s, dir)
+      val perHost = rob.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("allowed")).cast("long").as("n_allowed"),
+          max(col("crawl_delay")).as("crawl_delay"))
+      rank.join(perHost, Seq("host"))
+        .withColumn("drain_s",
+          col("n_allowed") * greatest(col("crawl_delay"), lit(1)))
+        .select(col("host"), col("rank_e12"), col("n_docs"),
+          col("n_allowed"), col("crawl_delay"), col("drain_s"))
+        .orderBy(col("rank_e12").desc, col("host"))
     }))
 
   /** Per-variant constant byte count preceding the base64 body, probed
@@ -468,6 +492,70 @@ object Extraction {
        |  SELECT doc_id, unnest(hrefs) AS href,
        |    generate_subscripts(hrefs, 1) AS pos
        |  FROM arr)""".stripMargin
+
+  /** x_host_rank oracle SQL, named so composed oracles (x_frontier)
+    * reuse the SAME integer-PageRank arithmetic verbatim
+    */
+  private lazy val hostRankOracleSql: String = {
+      // 3 unrolled PageRank iterations, same integer arithmetic as the
+      // Spark loop — bit-exact by construction
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (
+           |  -- DuckDB sum(BIGINT) widens to HUGEINT; cast back so the
+           |  -- output schema matches Spark's long. Same overflow-safe
+           |  -- identity as the Spark loop: (r//deg)*wt + ((r%deg)*wt)//deg
+           |  SELECT w.dst AS host,
+           |    CAST(sum((r.r // d.deg) * w.wt
+           |      + ((r.r % d.deg) * w.wt) // d.deg) AS BIGINT) AS s
+           |  FROM w JOIN deg d ON w.src = d.src
+           |  JOIN $prev r ON w.src = r.host GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.host,
+           |    CAST((15 * 1000000000000 + 85 * coalesce(c$i.s, 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$i ON n.host = c$i.host)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT ${hostIdxSqlFor("doc_id")} AS src,
+         |    ${hostIdxSqlFor("doc_id+17")} AS dst
+         |  FROM documents),
+         |w AS (SELECT src, dst, count(*) AS wt FROM e GROUP BY 1,2),
+         |deg AS (SELECT src, sum(wt) AS deg FROM w GROUP BY 1),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT 'h' || host || '.example.org' AS host, r AS rank_e12
+         |FROM r3 ORDER BY rank_e12 DESC, host""".stripMargin
+    }
+
+  /** x_robots oracle SQL, named so composed oracles (x_frontier) reuse
+    * the SAME hand-derived decisions verbatim
+    */
+  private lazy val robotsOracleSql: String =
+    s"""WITH h AS (
+         |  SELECT doc_id, $hostSql AS host,
+         |    ${hostIdxSqlFor("doc_id")} AS hi,
+         |    CAST(doc_id AS VARCHAR) AS ids
+         |  FROM documents)
+         |-- hand-derived per fixture for crawler token graftbot:
+         |-- h2: exact graftbot groups (merged) allow /doc/ + delay 2,
+         |--     overriding the * group's Disallow:/ → always allowed
+         |-- h3: exact graftbot group (Disallow /*7$$) beats BOTH the
+         |--     prefix group 'graft' (/*3$$) and * (Disallow:/)
+         |-- h4: no exact group → prefix 'graft' matches 'graftbot'
+         |--     (Disallow /doc/* Allow /doc/*2$$ delay 5), not * (/)
+         |SELECT doc_id, host,
+         |  CASE hi WHEN 0 THEN 1
+         |    WHEN 1 THEN CASE WHEN ids LIKE '2%' THEN 1 ELSE 0 END
+         |    WHEN 2 THEN 1
+         |    WHEN 3 THEN CASE WHEN ids LIKE '%7' THEN 0 ELSE 1 END
+         |    WHEN 4 THEN CASE WHEN ids LIKE '%2' THEN 1 ELSE 0 END
+         |    WHEN 5 THEN 1
+         |    ELSE CASE WHEN ids LIKE '1%' THEN 0 ELSE 1 END END AS allowed,
+         |  CASE hi WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 5 ELSE 0 END
+         |    AS crawl_delay
+         |FROM h ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_links" ->
@@ -565,85 +653,10 @@ object Extraction {
     // specific) re-admits ids ending in 2 — and the evilbot group must
     // not leak; h5 has no star group at all → allow-all; h6 = blocked
     // only under /doc/1
-    "x_robots" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, $hostSql AS host,
-         |    ${hostIdxSqlFor("doc_id")} AS hi,
-         |    CAST(doc_id AS VARCHAR) AS ids
-         |  FROM documents)
-         |-- hand-derived per fixture for crawler token graftbot:
-         |-- h2: exact graftbot groups (merged) allow /doc/ + delay 2,
-         |--     overriding the * group's Disallow:/ → always allowed
-         |-- h3: exact graftbot group (Disallow /*7$$) beats BOTH the
-         |--     prefix group 'graft' (/*3$$) and * (Disallow:/)
-         |-- h4: no exact group → prefix 'graft' matches 'graftbot'
-         |--     (Disallow /doc/* Allow /doc/*2$$ delay 5), not * (/)
-         |SELECT doc_id, host,
-         |  CASE hi WHEN 0 THEN 1
-         |    WHEN 1 THEN CASE WHEN ids LIKE '2%' THEN 1 ELSE 0 END
-         |    WHEN 2 THEN 1
-         |    WHEN 3 THEN CASE WHEN ids LIKE '%7' THEN 0 ELSE 1 END
-         |    WHEN 4 THEN CASE WHEN ids LIKE '%2' THEN 1 ELSE 0 END
-         |    WHEN 5 THEN 1
-         |    ELSE CASE WHEN ids LIKE '1%' THEN 0 ELSE 1 END END AS allowed,
-         |  CASE hi WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 5 ELSE 0 END
-         |    AS crawl_delay
-         |FROM h ORDER BY doc_id""".stripMargin,
+    "x_robots" -> robotsOracleSql,
 
-    "x_host_rank" -> {
-      // 3 unrolled PageRank iterations, same integer arithmetic as the
-      // Spark loop — bit-exact by construction
-      val iters = (1 to 3).map { i =>
-        val prev = if (i == 1) "r0" else s"r${i - 1}"
-        s"""c$i AS (
-           |  -- DuckDB sum(BIGINT) widens to HUGEINT; cast back so the
-           |  -- output schema matches Spark's long. Same overflow-safe
-           |  -- identity as the Spark loop: (r//deg)*wt + ((r%deg)*wt)//deg
-           |  SELECT w.dst AS host,
-           |    CAST(sum((r.r // d.deg) * w.wt
-           |      + ((r.r % d.deg) * w.wt) // d.deg) AS BIGINT) AS s
-           |  FROM w JOIN deg d ON w.src = d.src
-           |  JOIN $prev r ON w.src = r.host GROUP BY 1),
-           |r$i AS (
-           |  SELECT n.host,
-           |    CAST((15 * 1000000000000 + 85 * coalesce(c$i.s, 0)) // 100
-           |      AS BIGINT) AS r
-           |  FROM nodes n LEFT JOIN c$i ON n.host = c$i.host)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT ${hostIdxSqlFor("doc_id")} AS src,
-         |    ${hostIdxSqlFor("doc_id+17")} AS dst
-         |  FROM documents),
-         |w AS (SELECT src, dst, count(*) AS wt FROM e GROUP BY 1,2),
-         |deg AS (SELECT src, sum(wt) AS deg FROM w GROUP BY 1),
-         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
-         |r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
-         |$iters
-         |SELECT 'h' || host || '.example.org' AS host, r AS rank_e12
-         |FROM r3 ORDER BY rank_e12 DESC, host""".stripMargin
-    },
 
-    "x_url_filter" ->
-      s"""WITH u AS (
-         |  SELECT doc_id,
-         |    'https://' || $hostSql || '/doc/' || doc_id ||
-         |      CASE WHEN doc_id%23 = 5 THEN '/casino-bonus'
-         |           WHEN doc_id%23 = 16 THEN '/adult-xxx'
-         |           ELSE '' END AS url,
-         |    ${hostIdxSqlFor("doc_id")} AS hi
-         |  FROM documents)
-         |SELECT doc_id, url,
-         |  CASE WHEN hi IN (5, 6) THEN 'blocked_domain'
-         |       WHEN url LIKE '%casino%' OR url LIKE '%adult%'
-         |         OR url LIKE '%xxx%' THEN 'blocked_word'
-         |       ELSE 'ok' END AS verdict
-         |FROM u ORDER BY doc_id""".stripMargin,
-
-    "x_hosts_salted" ->
-      s"""SELECT $hostSql AS host, count(*) AS n_docs,
-         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
-         |FROM documents GROUP BY 1
-         |ORDER BY n_docs DESC, host""".stripMargin,
+"x_host_rank" -> hostRankOracleSql,
 
     "x_lineage" ->
       s"""WITH rows_ AS (
@@ -694,5 +707,26 @@ object Extraction {
         |UNION ALL
         |SELECT partition_id, "rows", bytes, digest, files, 2 AS snap
         |FROM s2
-        |ORDER BY partition_id""".stripMargin)
+        |ORDER BY partition_id""".stripMargin,
+
+    "x_frontier" -> {
+      // compose the two component oracles verbatim as subqueries: the
+      // frontier oracle stays honest under any fixture change because it
+      // re-derives from the SAME hand-derived decisions
+      val rankSql = hostRankOracleSql
+      val robSql = robotsOracleSql
+      s"""WITH rnk AS (SELECT * FROM ($rankSql) t_rank),
+         |rob AS (SELECT * FROM ($robSql) t_rob),
+         |per AS (
+         |  SELECT host, count(*) AS n_docs,
+         |    CAST(sum(allowed) AS BIGINT) AS n_allowed,
+         |    max(crawl_delay) AS crawl_delay
+         |  FROM rob GROUP BY 1)
+         |SELECT r.host, r.rank_e12, p.n_docs, p.n_allowed, p.crawl_delay,
+         |  CAST(p.n_allowed *
+         |    CASE WHEN p.crawl_delay < 1 THEN 1 ELSE p.crawl_delay END
+         |    AS BIGINT) AS drain_s
+         |FROM rnk r JOIN per p ON r.host = p.host
+         |ORDER BY r.rank_e12 DESC, r.host""".stripMargin
+    })
 }
