@@ -658,6 +658,28 @@ object Extraction {
 
 "x_host_rank" -> hostRankOracleSql,
 
+    "x_url_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || $hostSql || '/doc/' || doc_id ||
+         |      CASE WHEN doc_id%23 = 5 THEN '/casino-bonus'
+         |           WHEN doc_id%23 = 16 THEN '/adult-xxx'
+         |           ELSE '' END AS url,
+         |    ${hostIdxSqlFor("doc_id")} AS hi
+         |  FROM documents)
+         |SELECT doc_id, url,
+         |  CASE WHEN hi IN (5, 6) THEN 'blocked_domain'
+         |       WHEN url LIKE '%casino%' OR url LIKE '%adult%'
+         |         OR url LIKE '%xxx%' THEN 'blocked_word'
+         |       ELSE 'ok' END AS verdict
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "x_hosts_salted" ->
+      s"""SELECT $hostSql AS host, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1
+         |ORDER BY n_docs DESC, host""".stripMargin,
+
     "x_lineage" ->
       s"""WITH rows_ AS (
          |  SELECT doc_id,
