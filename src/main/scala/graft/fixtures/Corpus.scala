@@ -54,7 +54,10 @@ object Corpus {
   def pagesAmplified(spark: SparkSession, sfDir: String, k: Int,
                      repeatText: Int): DataFrame = {
     import spark.implicits._
-    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    // spread: the page-build map otherwise runs as ONE task off the
+    // single-row-group testdata file (util.Scans — scale-adaptive)
+    val base0 = graft.util.Scans.spread(
+        spark.read.parquet(s"$sfDir/documents.parquet"), $"doc_id")
       .select($"doc_id", $"text", $"lang")
     val base = if (repeatText <= 1) base0
       else base0.select($"doc_id",

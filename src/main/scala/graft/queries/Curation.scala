@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // spread: parallelize the map-heavy first stage off the single-row-
+  // group testdata file (util.Scans — scale-adaptive, no-op at 100 TB)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Scans.spread(
+      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
   /** 60-bit md5 fingerprint of a salted key — portable to DuckDB. */
   private def fp60(c: Column): Column =

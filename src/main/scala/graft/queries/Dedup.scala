@@ -18,8 +18,12 @@ object Dedup {
     */
   @volatile private[graft] var lastComponentsIters: Int = 0
 
+  // spread: the single-row-group testdata file otherwise hands every
+  // shingling/hashing map stage to ONE task (util.Scans — scale-adaptive,
+  // no-op when the source already has enough splits)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Scans.spread(
+      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
   /** 60-bit md5 fingerprint of a key — bit-identical in DuckDB */
   private def fp60(c: Column): Column =
@@ -99,7 +103,8 @@ object Dedup {
     * and LSH near-dup variants — identical output contract)
     */
   private def embedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    val base = graft.util.Scans.spread(
+        s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"))
       .select(col("vec_id").cast("long").as("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
     val aug = base.select((col("vec_id") + 100000L).as("vec_id"),
@@ -140,6 +145,31 @@ object Dedup {
     (z ^ (z >>> 31)) < 0
   }
 
+  /** Per-JVM cache of the Rademacher sign matrix as ±1.0 multipliers,
+    * flat [plane·dims + d]: the signature flatMap previously re-derived
+    * every sign with three 64-bit multiplies PER (plane, dim, row) —
+    * 3× the useful flops of the dot products themselves. x·(+1.0)/x·(−1.0)
+    * is IEEE-exact, so signatures are bit-identical to the branch form.
+    * Keyed by dims (an object member — one instance per executor JVM).
+    */
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def planeSigns(dims: Int): Array[Double] =
+    signCache.computeIfAbsent(dims, d => {
+      val out = new Array[Double](EBands * EBitsPerBand * d)
+      var p = 0
+      while (p < EBands * EBitsPerBand) {
+        var k = 0
+        while (k < d) {
+          out(p * d + k) = if (planePositive(p, k)) 1.0 else -1.0
+          k += 1
+        }
+        p += 1
+      }
+      out
+    })
+
   /** (vec_id, band, band_hash) sign-bit signatures — computed entirely
     * map-side in a typed flatMap; the only shuffle downstream is the
     * band-equality join on ~n·EBands small keys.
@@ -149,6 +179,8 @@ object Dedup {
     corpus.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
       .flatMap { case (id, e) =>
         val dims = e.length
+        val ea = e.toArray // primitive indexing in the hot loop
+        val signs = planeSigns(dims) // per-JVM, built once
         val out = new Array[(Long, Int, Int)](EBands)
         var b = 0
         while (b < EBands) {
@@ -156,10 +188,11 @@ object Dedup {
           var k = 0
           while (k < EBitsPerBand) {
             val p = b * EBitsPerBand + k
+            val off = p * dims
             var dot = 0.0
             var d = 0
             while (d < dims) {
-              dot += (if (planePositive(p, d)) e(d) else -e(d))
+              dot += signs(off + d) * ea(d)
               d += 1
             }
             h = (h << 1) | (if (dot > 0) 1 else 0)
@@ -334,8 +367,11 @@ object Dedup {
       a.join(b, Seq("band", "bv"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          expr("bit_count(sa ^ sb)").as("hamming")).distinct()
-        .where(col("hamming") <= 3)
+          expr("bit_count(sa ^ sb)").as("hamming"))
+        // hamming filter BEFORE the distinct: identical rows (filter and
+        // distinct commute), but the dedup exchange now carries only the
+        // <=3 survivors instead of every band-collision candidate
+        .where(col("hamming") <= 3).distinct()
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -371,27 +407,36 @@ object Dedup {
           val ci = key / B
           val cj = key % B
           val arr = it.toArray
+          // block ids hoisted out of the O(n²) inner loop
+          val blk = arr.map(t => (t._2 % B).toInt)
           val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           var i = 0
           while (i < arr.length) {
             val (_, idA, ea, na) = arr(i)
-            val bA = (idA % B).toInt
+            val bA = blk(i)
             var j = i + 1
             while (j < arr.length) {
-              val (_, idB, eb, nb) = arr(j)
-              val bB = (idB % B).toInt
+              val bB = blk(j)
               // each unordered pair belongs to exactly ONE combo — the
               // (min,max) of its blocks; skip pairs owned elsewhere
               if (math.min(bA, bB) == ci && math.max(bA, bB) == cj) {
+                val (_, idB, eb, nb) = arr(j)
                 var dot = 0.0
                 var d0 = 0
                 while (d0 < ea.length) { dot += ea(d0) * eb(d0); d0 += 1 }
-                // same HALF_UP-on-decimal semantics as Spark's round():
-                // the oracle compares the rounded value exactly
-                val cosR = BigDecimal(dot / (na * nb))
-                  .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-                if (cosR >= 0.9)
-                  res += ((math.min(idA, idB), math.max(idA, idB), cosR))
+                val cos = dot / (na * nb)
+                // cheap double pre-filter: any cos < 0.8994999 rounds to
+                // <= 0.899 under HALF_UP, so only near-threshold survivors
+                // pay the exact BigDecimal rounding (it decided EVERY pair
+                // before — the O(n²) allocation hot spot of this baseline)
+                if (cos >= 0.8994999) {
+                  // same HALF_UP-on-decimal semantics as Spark's round():
+                  // the oracle compares the rounded value exactly
+                  val cosR = BigDecimal(cos)
+                    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (cosR >= 0.9)
+                    res += ((math.min(idA, idB), math.max(idA, idB), cosR))
+                }
               }
               j += 1
             }
@@ -444,7 +489,16 @@ object Dedup {
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("u", "v").cache()
       try {
-        var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("comp"))
+        // Propagate ONLY over vertices that appear in an edge: an
+        // isolated doc can never change label (no neighbor rows →
+        // min(old) = own id), so carrying the whole corpus through every
+        // round's union+groupBy+checkpoint was O(|corpus|) per iteration
+        // for rows that provably never move. Edge vertices are the dup
+        // docs only — ≪ corpus at any real dup rate — and the final
+        // left join below restores isolated docs with comp = doc_id,
+        // exactly the label the full loop assigned them.
+        var labels = edges.select(col("u").as("doc_id")).distinct()
+          .withColumn("comp", col("doc_id"))
           .localCheckpoint()
         var changed = 1L
         var iters = 0
@@ -480,7 +534,10 @@ object Dedup {
         }
         lastComponentsIters = iters
         require(changed == 0, s"label propagation did not converge in $iters rounds")
-        labels
+        docs(s, dir).select(col("doc_id"))
+          .join(labels.withColumnRenamed("comp", "ecomp"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ecomp"), col("doc_id")).as("comp"))
           .withColumn("is_canonical", (col("doc_id") === col("comp")).cast("int"))
           .orderBy(col("doc_id"))
       } finally edges.unpersist()

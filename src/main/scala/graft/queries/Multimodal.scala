@@ -100,7 +100,8 @@ object Multimodal {
 
   private def assets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Scans.spread(
+        s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
       .select(col("doc_id")).as[Long]
       .map(id => (id, encodeImage(id), encodeVideo(id), encodeAudio(id)))
       .toDF("doc_id", "img", "vid", "aud")

@@ -12,8 +12,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** stable unique key per table — the spread partition key (hash
+    * partitioning: deterministic under retry, no round-robin sort)
+    */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "part" -> "p_partkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey")
+
+  // spread: parallelize scans off single-row-group testdata files
+  // (util.Scans — scale-adaptive; tiny dims and real multi-split
+  // sources pass through unchanged)
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    spreadKey.get(name) match {
+      case Some(k) => graft.util.Scans.spread(df, col(k))
+      case None => df
+    }
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -13,8 +13,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  // spread: parallelize the scoring map stages off the single-row-group
+  // testdata file (util.Scans — scale-adaptive, no-op at 100 TB)
   private[graft] def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.util.Scans.spread(
+      s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"))
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("nrm", expr("sqrt(aggregate(e, 0d, (a, x) -> a + x * x))"))
@@ -32,20 +35,39 @@ object Similarity {
     * (same tie-break as ORDER BY score DESC, cell ASC).
     */
   private[graft] def nearestCell(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val carr = array(cents.sortBy(_._1).map { case (c, v) =>
-      val cn = math.sqrt(v.map(x => x * x).sum)
-      struct(lit(c).as("cell"), typedLit(v).as("ce"), lit(cn).as("cn"))
-    }: _*)
-    corpus.withColumn("carr", carr)
-      .withColumn("cell", expr(
-        """aggregate(
-          |  transform(carr, c -> named_struct(
-          |    'cell', c.cell,
-          |    'score', aggregate(zip_with(e, c.ce, (x, y) -> x * y), 0d, (a, x) -> a + x) / c.cn)),
-          |  named_struct('cell', -1, 'score', cast('-Infinity' as double)),
-          |  (acc, s) -> if(s.score > acc.score, s, acc),
-          |  acc -> acc.cell)""".stripMargin))
-      .select(col("vec_id"), col("cell"), col("e"))
+    // Typed map instead of the higher-order aggregate/zip_with argmax
+    // expression: Catalyst lambda functions are INTERPRETED per row (no
+    // whole-stage codegen inside them), so every assignment pass paid
+    // allocation + closure dispatch per (cell, dim). The tight primitive
+    // loop below runs the SAME arithmetic in the SAME order — dims
+    // ascending dot product, dot/cn score, strict `>` argmax over cells
+    // ascending (lowest cell wins ties) — so assignments are
+    // bit-identical; still map-side only, zero exchanges.
+    val s = corpus.sparkSession
+    import s.implicits._
+    val sorted = cents.sortBy(_._1)
+    val cellIds = sorted.map(_._1).toArray
+    val ce = sorted.map(_._2.toArray).toArray
+    val cn = ce.map(v => math.sqrt(v.map(x => x * x).sum))
+    corpus.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .map { case (id, e) =>
+        val ea = e.toArray
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < ce.length) {
+          val cv = ce(c)
+          val n = math.min(ea.length, cv.length)
+          var dot = 0.0
+          var d = 0
+          while (d < n) { dot += ea(d) * cv(d); d += 1 }
+          val score = dot / cn(c)
+          if (score > bestScore) { best = cellIds(c); bestScore = score }
+          c += 1
+        }
+        (id, best, e)
+      }
+      .toDF("vec_id", "cell", "e")
   }
 
   /** Final top-k ranking via the bounded TopKAggregator: every map
@@ -91,12 +113,14 @@ object Similarity {
   def ivf(s: SparkSession, dir: String, k: Int = 5,
           cells: Int = 8, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val all = emb(s, dir).cache()
+    // CacheScope instead of cache+unpersist-before-probe: the final
+    // probe action previously re-scanned and re-normed the corpus twice
+    // (the `all` side and the `cellOf` side) because the cache was
+    // dropped before the lazy probe plan ever ran; CacheScope keeps it
+    // hot through the caller's action and releases at the harness query
+    // boundary — the bounded-memory discipline is unchanged.
+    val all = graft.util.CacheScope.cached(emb(s, dir)).toDF()
     val cents = train(s, all, cells, iters)
-    // train's last collect was the final action through the cache —
-    // release it here; the remaining (lazy) probe plan recomputes the
-    // cheap scan projection instead of pinning executor memory
-    all.unpersist()
     val centDf = broadcast(cents.toDF("cell", "ce")
       .withColumn("cn", expr("sqrt(aggregate(ce, 0d, (a, x) -> a + x * x))")))
     val cellOf = nearestCell(all, cents).select(col("vec_id"), col("cell"))

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // spread: parallelize the map-heavy first stage off the single-row-
+  // group testdata file (util.Scans — scale-adaptive, no-op at 100 TB)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.Scans.spread(
+      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "is", "and"),
@@ -83,18 +86,21 @@ object TextAnalysis {
     // represented by a small, alignment-robust fingerprint set. Hashes
     // are md5-60bit so DuckDB reproduces them exactly.
     "t_winnow" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = docs(s, dir)
+      // MAP-SIDE rolling min: the windows are per-document and documents
+      // are bounded, so the rolling min over each 4-shingle window and
+      // the per-doc distinct both compute inside one array expression —
+      // no Window shuffle+sort on (doc_id, pos) and no global distinct
+      // exchange (distinct per doc == global distinct since doc_id is in
+      // the key). Same hashes, same fingerprint set, same output.
+      docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))")))
-        .toDF("doc_id", "pos", "shingle")
-        .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 3)
-      sh.withColumn("wmin", min(col("h")).over(w))
-        .select(col("doc_id"), col("wmin").as("fingerprint")).distinct()
+        .withColumn("hs", expr(
+          "transform(sequence(0, size(ws)-3), i -> " +
+            "cast(conv(substring(md5(concat_ws(' ', slice(ws, i+1, 3))), 1, 15), 16, 10) as long))"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(hs)-1)," +
+            " i -> array_min(slice(hs, i+1, 4))))")).as("fingerprint"))
         .orderBy(col("doc_id"), col("fingerprint"))
     }),
 
