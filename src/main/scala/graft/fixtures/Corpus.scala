@@ -54,10 +54,12 @@ object Corpus {
   def pagesAmplified(spark: SparkSession, sfDir: String, k: Int,
                      repeatText: Int): DataFrame = {
     import spark.implicits._
-    // spread: the page-build map otherwise runs as ONE task off the
-    // single-row-group testdata file (util.Scans — scale-adaptive)
-    val base0 = graft.util.Scans.spread(
-        spark.read.parquet(s"$sfDir/documents.parquet"), $"doc_id")
+    // plain read (no util.Scans.spread): the ~1 KB/page build map is
+    // light enough that hash-repartitioning the 5000-row fixture costs
+    // more in task overhead than it buys — measured net-negative for the
+    // pages-based aggregate queries (see OPTIMIZATION_r06.md); amplified
+    // corpora are staged with an explicit repartition by their builders.
+    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
     val base = if (repeatText <= 1) base0
       else base0.select($"doc_id",

@@ -18,11 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  // spread: parallelize the map-heavy first stage off the single-row-
-  // group testdata file (util.Scans — scale-adaptive, no-op at 100 TB)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scans.spread(
-      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** 60-bit md5 fingerprint of a salted key — portable to DuckDB. */
   private def fp60(c: Column): Column =
@@ -134,7 +131,9 @@ object Curation {
     // side is a narrow explode → semi-join → distinct — no shuffle of
     // document text, only 8-byte gram hashes.
     "c_decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // spread (util.Scans): the per-position 8-gram fp60 explode is the
+      // heavy map stage — ~n_words hashes per doc
+      val d = graft.util.Scans.spread(docs(s, dir), col("doc_id"))
       // ws is PROJECTED once per row, not an inlined Column: an inlined
       // split(text) inside the transform lambda re-splits the whole
       // document per gram index — O(len²) per doc, a hang on multi-MB

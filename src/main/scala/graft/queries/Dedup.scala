@@ -18,20 +18,23 @@ object Dedup {
     */
   @volatile private[graft] var lastComponentsIters: Int = 0
 
-  // spread: the single-row-group testdata file otherwise hands every
-  // shingling/hashing map stage to ONE task (util.Scans — scale-adaptive,
-  // no-op when the source already has enough splits)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scans.spread(
-      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** 60-bit md5 fingerprint of a key — bit-identical in DuckDB */
   private def fp60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** distinct 3-word shingles per doc */
+  /** distinct 3-word shingles per doc. The input scan is spread first
+    * (util.Scans — scale-adaptive, no-op on well-split sources): the
+    * shingle explode + per-shingle md5 is the heavy map stage of every
+    * shingle-based dedup query, and the single-row-group testdata file
+    * otherwise runs it on ONE task. Cheap-map queries deliberately skip
+    * the spread — measured as a net loss there (see OPTIMIZATION_r06.md).
+    */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    graft.util.Scans.spread(d, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3))))"
@@ -91,7 +94,7 @@ object Dedup {
   /** per-doc 60-bit SimHash via the one-pass typed aggregator */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
+    graft.util.Scans.spread(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .as[(Long, String)]
       .groupByKey(_._1)
@@ -211,7 +214,13 @@ object Dedup {
     * and d_components: shuffles only (band, hash) keys, never shingles.
     */
   private def lshCandidates(s: SparkSession, sh: DataFrame): DataFrame = {
-    val bands = minhashBands(s, sh)
+    // cached: BOTH sides of the band-bucket self-join read the band
+    // table, so the MinHash aggregation (the heavy pass) previously ran
+    // twice per action; the band table is Bands rows/doc of 20 bytes —
+    // strictly smaller than the shingle table already cached alongside
+    // it (released at the harness query boundary like every CacheScope
+    // entry)
+    val bands = graft.util.CacheScope.cached(minhashBands(s, sh))
     val a = bands.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val b = bands.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "bh"))
@@ -266,7 +275,10 @@ object Dedup {
     // verify union — same pattern as d_minhash_lsh; registered with
     // CacheScope so multi-query harnesses release it at query boundaries
     val shNew = graft.util.CacheScope.cached(shingles(newDocs))
-    val bNew = minhashBands(s, shNew)
+    // cached: bNew feeds the probe side AND the union side of the
+    // candidate join — without the cache the batch MinHash aggregation
+    // runs twice per action
+    val bNew = graft.util.CacheScope.cached(minhashBands(s, shNew))
     val stored = s.read.parquet(s"$indexDir/bands")
     val cands = bNew.select(col("band"), col("bh"), col("doc_id").as("x_id"))
       .join(stored.union(bNew).select(col("band"), col("bh"), col("doc_id").as("y_id")),
@@ -459,7 +471,10 @@ object Dedup {
       // cache (query functions return lazily, so an unpersist-after-
       // action is not expressible here)
       val corpus = embedCorpus(s, dir)
-      val sig = hyperplaneBands(s, corpus)
+      // sig cached: both self-join sides read it, so the 128-plane
+      // signature flatMap (the heavy pass) previously ran twice per
+      // action; the signature table is EBands rows/vec of 16 bytes
+      val sig = graft.util.CacheScope.cached(hyperplaneBands(s, corpus))
       val a = sig.select(col("band"), col("bh"), col("vec_id").as("a_id"))
       val b = sig.select(col("band"), col("bh"), col("vec_id").as("b_id"))
       val cands = a.join(b, Seq("band", "bh"))

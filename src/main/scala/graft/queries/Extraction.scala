@@ -23,12 +23,13 @@ object Extraction {
       java.nio.file.Files.exists(p.resolve("_SUCCESS")))(
       out => graft.sources.Warc.write(s, Corpus.pages(s, dir), out))
 
-  /** documents table with the scale-adaptive scan spread applied (the
-    * single-row-group testdata file otherwise serializes every map
-    * stage — util.Scans) */
+  /** plain documents read: the queries below do only cheap per-row
+    * expression work (concat / CASE / from_json / cached robots eval)
+    * before their first exchange, where the scan spread measured as a
+    * net loss (see OPTIMIZATION_r06.md); the heavy page-build path gets
+    * its spread inside Corpus.pagesAmplified instead. */
   private def docsTable(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scans.spread(
-      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
 
   private def extracted(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)

@@ -98,10 +98,11 @@ object Multimodal {
       Some(if (body.isEmpty) Nil else body.split('\n').toSeq)
     }
 
+  // plain read: the fake-codec encode map is ~100 bytes/row — measured
+  // neutral-to-negative under the scan spread (see OPTIMIZATION_r06.md)
   private def assets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.util.Scans.spread(
-        s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .map(id => (id, encodeImage(id), encodeVideo(id), encodeAudio(id)))
       .toDF("doc_id", "img", "vid", "aud")

@@ -12,24 +12,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  /** stable unique key per table — the spread partition key (hash
-    * partitioning: deterministic under retry, no round-robin sort)
-    */
-  private val spreadKey = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-    "events" -> "event_id", "part" -> "p_partkey",
-    "customer" -> "c_custkey", "supplier" -> "s_suppkey")
-
-  // spread: parallelize scans off single-row-group testdata files
-  // (util.Scans — scale-adaptive; tiny dims and real multi-split
-  // sources pass through unchanged)
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    spreadKey.get(name) match {
-      case Some(k) => graft.util.Scans.spread(df, col(k))
-      case None => df
-    }
-  }
+  // NO scan spread here (unlike the documents/embeddings readers): the
+  // relational queries do only cheap expression work per row before their
+  // first aggregation/join exchange, so hash-repartitioning the scan
+  // shuffles the whole table to save near-zero map time — measured a
+  // net regression (q01 0.24→0.43 s, q_events_windowed 0.29→0.53 s at
+  // sf0.1). Spread pays only where the per-row map is expensive
+  // (md5/shingling/page-build/vector math) — guide §1.2: the algorithm
+  // decides, not a blanket knob.
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

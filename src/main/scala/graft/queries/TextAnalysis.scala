@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  // spread: parallelize the map-heavy first stage off the single-row-
-  // group testdata file (util.Scans — scale-adaptive, no-op at 100 TB)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scans.spread(
-      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** docs + scale-adaptive scan spread (util.Scans) — ONLY for the
+    * queries whose per-row map fan-out is heavy (per-shingle/per-token
+    * md5); measured a net loss on the cheap expression maps, which read
+    * plain (see OPTIMIZATION_r06.md). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scans.spread(docs(s, dir), col("doc_id"))
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "is", "and"),
@@ -92,7 +96,7 @@ object TextAnalysis {
       // no Window shuffle+sort on (doc_id, pos) and no global distinct
       // exchange (distinct per doc == global distinct since doc_id is in
       // the key). Same hashes, same fingerprint set, same output.
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .where(size(col("ws")) >= 3)
         .withColumn("hs", expr(
@@ -245,7 +249,7 @@ object TextAnalysis {
     "t_model_score" -> ((s, dir) => {
       val weights = s.range(0, 64).select(col("id").as("j"),
         (pmod(col("id") * 2654435761L, lit(17L)) - 8).as("w"))
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), pmod(
           conv(substring(md5(concat(lit("w:"), col("tok"))), 1, 15), 16, 10)

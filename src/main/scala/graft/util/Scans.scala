@@ -32,7 +32,8 @@ object Scans {
 
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+    if (df.isStreaming) df // micro-batch sources partition per source
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
     else if (df.rdd.getNumPartitions * 2 > target) df // already parallel
     else df.repartition(target, key)
   }
