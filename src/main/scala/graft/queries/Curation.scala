@@ -139,9 +139,14 @@ object Curation {
       // document per gram index — O(len²) per doc, a hang on multi-MB
       // documents (caught by tools/SpillProbe's giant-doc case)
       val dw = d.withColumn("ws", split(col("text"), " "))
-      val grams = dw.where(size(col("ws")) >= 8).select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 7),
-          i => fp60(array_join(slice(col("ws"), i, lit(8)), " ")))).as("gh"))
+      // cached: the eval-side distinct AND the corpus-side semi-join both
+      // read the gram table, so the per-position fp60 explode (the heavy
+      // map) previously ran twice per action; rows are (doc_id, 8-byte
+      // hash) — narrow by construction, released at the query boundary
+      val grams = graft.util.CacheScope.cached(
+        dw.where(size(col("ws")) >= 8).select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 7),
+            i => fp60(array_join(slice(col("ws"), i, lit(8)), " ")))).as("gh")))
       val evalGrams = grams.where(col("doc_id") % 41 === 3)
         .select(col("gh")).distinct()
       val contaminated = grams.where(col("doc_id") % 41 =!= 3)

@@ -44,7 +44,11 @@ object Dedup {
     * given candidate universe (cands = null → all pairs via shingle join).
     */
   private def verifiedPairs(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // cached: the (doc_id, n) size table joins BOTH the a_id and b_id
+    // sides, so the shingle-count aggregation (a full pass over the
+    // shingle table) previously ran twice per action; 12 bytes/doc
+    val sizes = graft.util.CacheScope.cached(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val inter0 = cands match {
       case None =>
         val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
