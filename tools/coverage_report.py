@@ -31,6 +31,9 @@ ALLOW_UNREFERENCED = {
     "KernelBench.scala", "ScalingBench.scala", "QueryTime.scala",
     "StageProf.scala", "DedupScale.scala", "GoldenGen.scala",
     "SpillProbe.scala",
+    # round-6 optimization instruments; their artifacts live under
+    # plans/r06/ and OPTIMIZATION_r06.md
+    "PlanDump.scala", "StreamProbe.scala",
 }
 
 def scala_files(root):
