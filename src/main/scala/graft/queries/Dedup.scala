@@ -504,9 +504,15 @@ object Dedup {
     "d_components" -> ((s, dir) => {
       import s.implicits._
       val pairs = componentEdges(s, dir)
+      // both directions via ONE explode instead of union(pairs, swap):
+      // the union form executed the entire candidate-verify subtree once
+      // per branch inside the single cache-materialization job — same
+      // rows, half the edge-build work
       val edges = pairs
-        .union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("u", "v").cache()
+        .select(explode(array(
+          struct(col("a_id").as("u"), col("b_id").as("v")),
+          struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")).cache()
       try {
         // Propagate ONLY over vertices that appear in an edge: an
         // isolated doc can never change label (no neighbor rows →
@@ -516,9 +522,14 @@ object Dedup {
         // docs only — ≪ corpus at any real dup rate — and the final
         // left join below restores isolated docs with comp = doc_id,
         // exactly the label the full loop assigned them.
+        // distinct (one row per vertex — REQUIRED: duplicate label rows
+        // would amplify each round's neighbor join by vertex degree) but
+        // NOT checkpointed: the subtree below is just a projection of the
+        // cached edge table, so materializing it separately was a whole
+        // extra action before the loop began; round 1's own checkpoint
+        // bounds the lineage.
         var labels = edges.select(col("u").as("doc_id")).distinct()
           .withColumn("comp", col("doc_id"))
-          .localCheckpoint()
         var changed = 1L
         var iters = 0
         while (changed > 0 && iters < 50) {
