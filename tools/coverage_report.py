@@ -33,7 +33,7 @@ ALLOW_UNREFERENCED = {
     "SpillProbe.scala",
     # round-6 optimization instruments; their artifacts live under
     # plans/r06/ and OPTIMIZATION_r06.md
-    "PlanDump.scala", "StreamProbe.scala",
+    "PlanDump.scala", "StreamProbe.scala", "ComponentsProbe.scala",
 }
 
 def scala_files(root):
