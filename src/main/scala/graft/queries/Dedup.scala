@@ -472,12 +472,12 @@ object Dedup {
     // exact cosine verifies them. Output identical to d_embed_dups —
     // the shared oracle proves recall.
     "d_embed_lsh" -> ((s, dir) => {
-      // deliberately NOT cached: the corpus is a cheap shuffle-free
-      // projection of the parquet scan; recomputing it for the signature
-      // pass and the two verify sides beats holding session-lifetime
-      // cache (query functions return lazily, so an unpersist-after-
-      // action is not expressible here)
-      val corpus = embedCorpus(s, dir)
+      // cached via CacheScope (the bounded-cache discipline the round-5
+      // "deliberately not cached" comment predates): the corpus
+      // projection + norms feed the signature pass AND both verify
+      // sides — three evaluations per action otherwise; released at the
+      // harness query boundary
+      val corpus = graft.util.CacheScope.cached(embedCorpus(s, dir)).toDF()
       // sig cached: both self-join sides read it, so the 128-plane
       // signature flatMap (the heavy pass) previously ran twice per
       // action; the signature table is EBands rows/vec of 16 bytes
