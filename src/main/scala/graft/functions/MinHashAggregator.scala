@@ -10,10 +10,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * many-permutations construction. This replaces 64 independent
   * string-hash aggregate columns (which re-hash every string 64 times and
   * blow up the generated agg code) with one array-buffer aggregate:
-  * mergeable, order-independent, and map-side-combining under
-  * groupByKey.agg.
+  * mergeable, order-independent, map-side-combining.
+  *
+  * Input is the shingle STRING alone (not a (doc_id, shingle) tuple):
+  * applied through `functions.udaf` + a relational `groupBy(doc_id)`, the
+  * grouping key is the doc_id column itself, so an upstream
+  * hash-partitioning on doc_id (the Scans.spread layout) satisfies the
+  * aggregation's distribution and the exchange is ELIDED — the typed
+  * groupByKey form appended a serialized key column Catalyst cannot
+  * equate with doc_id and therefore always paid a corpus-wide shuffle of
+  * the partial buffers.
   */
-object MinHashAggregator extends Aggregator[(Long, String), Array[Long], Seq[Long]] {
+object MinHashAggregator extends Aggregator[String, Array[Long], Seq[Long]] {
 
   val NumPerms = 64
   private val Phi = 0x9e3779b97f4a7c15L
@@ -37,8 +45,8 @@ object MinHashAggregator extends Aggregator[(Long, String), Array[Long], Seq[Lon
 
   override def zero: Array[Long] = Array.fill(NumPerms)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], row: (Long, String)): Array[Long] = {
-    val h0 = fnv1a64(row._2)
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val h0 = fnv1a64(shingle)
     var i = 0
     while (i < NumPerms) {
       val m = splitmix64(h0 ^ (Phi * (i + 1)))

@@ -5,11 +5,18 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One-pass SimHash as a typed Aggregator: consumes raw (doc_id, token)
-  * occurrence rows and keeps the 60 per-bit signed counters in a single
+/** One-pass SimHash as a typed Aggregator: consumes raw token occurrence
+  * rows and keeps the 60 per-bit signed counters in a single
   * map-side-combining buffer. Replaces the explode(sequence(0,59)) form,
   * which amplified the token-frequency table 60× through two shuffles —
-  * this buffer shuffles one 60-long array per (partition, doc) partial.
+  * at most one 60-long partial per (partition, doc) ever crosses a wire.
+  *
+  * Input is the token STRING alone: applied through `functions.udaf` + a
+  * relational `groupBy(doc_id)`, so an upstream hash-partitioning on
+  * doc_id (the Scans.spread layout) satisfies the aggregation's
+  * distribution and the exchange is elided entirely (the typed
+  * groupByKey form appended a serialized key column Catalyst cannot
+  * equate with doc_id and always re-shuffled the partials).
   *
   * Summing ±1 per token OCCURRENCE is identical to the frequency-weighted
   * ±w per DISTINCT token (the contribution is linear in the count), so the
@@ -19,7 +26,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * `conv(substring(md5(tok),1,15),16,10)` and DuckDB
   * `('0x'||substr(md5(tok),1,15))::BIGINT` bit-for-bit.
   */
-object SimHashAggregator extends Aggregator[(Long, String), Array[Long], Long] {
+object SimHashAggregator extends Aggregator[String, Array[Long], Long] {
 
   val Bits = 60
 
@@ -40,8 +47,8 @@ object SimHashAggregator extends Aggregator[(Long, String), Array[Long], Long] {
 
   override def zero: Array[Long] = new Array[Long](Bits)
 
-  override def reduce(buf: Array[Long], row: (Long, String)): Array[Long] = {
-    val h = md5_60(row._2)
+  override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+    val h = md5_60(tok)
     var j = 0
     while (j < Bits) {
       buf(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)

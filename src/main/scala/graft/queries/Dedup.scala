@@ -79,32 +79,42 @@ object Dedup {
   private val NumPerms = 64
   private val Bands = 16 // r = 4 rows/band: P(miss | j=0.95) ≈ 1e-12, still ~0 at any corpus size we run
 
+  /** Relational forms of the typed hash aggregators: `groupBy(doc_id)`
+    * instead of `groupByKey(_._1)` so Catalyst can see the grouping key
+    * IS the column the Scans.spread layout already hash-partitions on —
+    * the aggregation's exchange is elided outright (guide §2.4 "two
+    * operations keyed the same way share one exchange"). The typed path
+    * grouped on an appended serialized key Catalyst cannot equate with
+    * doc_id, so every signature pass re-shuffled one partial buffer per
+    * doc (512 B × corpus for MinHash — ~650 MB at the 1.28M-doc ladder
+    * point). Same aggregator objects, same per-row arithmetic →
+    * bit-identical signatures.
+    */
+  private lazy val minhashUdaf = udaf(graft.functions.MinHashAggregator)
+  private lazy val simhashUdaf = udaf(graft.functions.SimHashAggregator)
+
   /** (doc_id, band, band_hash) MinHash band table — the LSH index rows.
-    * One string hash per shingle (typed MinHashAggregator), 16 bands × 4
-    * rows; map-side combining, one shuffle keyed on doc_id.
+    * One string hash per shingle (MinHashAggregator), 16 bands × 4
+    * rows; map-side combining, zero exchanges when the shingle table is
+    * already doc_id-partitioned (the spread layout).
     */
   private def minhashBands(s: SparkSession, sh: DataFrame): DataFrame = {
-    import s.implicits._
-    val mh = sh.as[(Long, String)]
-      .groupByKey(_._1)
-      .agg(graft.functions.MinHashAggregator.toColumn.name("mh"))
-      .toDF("doc_id", "mh")
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(minhashUdaf(col("shingle")).as("mh"))
     mh.select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
         xxhash64((4 * b until 4 * b + 4).map(i => element_at(col("mh"), i + 1)): _*)
       }: _*)))
       .toDF("doc_id", "band", "bh")
   }
 
-  /** per-doc 60-bit SimHash via the one-pass typed aggregator */
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** per-doc 60-bit SimHash via the one-pass aggregator (exchange elided
+    * over the spread layout — see minhashUdaf)
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
     graft.util.Scans.spread(docs(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .agg(graft.functions.SimHashAggregator.toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
-  }
+      .groupBy(col("doc_id"))
+      .agg(simhashUdaf(col("tok")).as("simhash"))
 
   /** base ∪ mutated embedding corpus with L2 norms (shared by the exact
     * and LSH near-dup variants — identical output contract)
@@ -319,7 +329,7 @@ object Dedup {
       verifiedPairs(graft.util.CacheScope.cached(shingles(docs(s, dir))), None)),
 
     // MinHash + LSH banding: 64-perm signatures from ONE string hash per
-    // shingle (typed MinHashAggregator — map-side combining, no 64-way
+    // shingle (MinHashAggregator via udaf — map-side combining, no 64-way
     // agg-column codegen), 16 bands × 4 rows; candidates from the
     // band-bucket equality join (shuffles only (band, hash) keys — the
     // 10^12-scale path), then exact-verified. Output is identical to
